@@ -1,0 +1,367 @@
+"""Structured configuration for pointnerf_tpu.
+
+The reference (Xharlie/pointnerf) assembles ~150 argparse flags dynamically from the chosen
+model/dataset classes (reference: options/base_options.py:118-137, models/neural_points/
+neural_points.py:12-229, models/aggregators/point_aggregators.py:14-217). We keep the same
+flag *names* so experiment scripts translate 1:1, but as one typed dataclass that is
+hashable (usable as a jit static argument) and serializable.
+
+Runtime "modes" the reference mutates on the options object (opt.is_train, opt.prob,
+opt.query_size during probing — reference run/train_ft.py:629-644, 848-918) are explicit
+function arguments in this framework, not config mutations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _t(*vals):
+    return field(default_factory=lambda: tuple(vals))
+
+
+@dataclass(frozen=True)
+class Options:
+    # ---------------------------------------------------------------- global / experiment
+    experiment: str = "default"
+    checkpoints_dir: str = "./checkpoints"
+    resume_dir: str = ""
+    resume_iter: str = "latest"
+    data_root: str = "./data_src"
+    dataset_name: str = "nerf_synth360_ft"
+    model: str = "mvs_points_volumetric"
+    scan: str = "lego"
+    split: str = "train"
+    gpu_ids: Tuple[int, ...] = _t(0)  # kept for config parity; device use is via jax mesh
+    debug: bool = False
+    is_train: bool = True
+    timestamp: bool = False
+    verbose: bool = False
+
+    # ---------------------------------------------------------------- rays / sampling
+    random_sample: str = "random"          # patch | random | random2 | no_crop
+    random_sample_size: int = 1024         # side of the sampled ray square (rays = size^2)
+    batch_size: int = 1
+    near_plane: float = 2.0
+    far_plane: float = 6.0
+    which_ray_generation: str = "near_far_linear"
+    domain_size: int = 1
+    dir_norm: int = 0
+    z_depth_dim: int = 400                 # raw depth samples per ray for voxel walking
+    SR: int = 24                           # max shading points per ray
+    K: int = 32                            # max neighbor points per shading point
+    P: int = 16                            # max points stored per voxel bucket
+    NN: int = 2                            # 2: K-NN in world coords (reference NN flag)
+    max_o: Optional[int] = None            # max occupied voxels (None = derived)
+    SR_budget: int = 0                     # >0: compact shading work to this many rows (perf)
+
+    # ---------------------------------------------------------------- neural points
+    load_points: int = 0
+    point_noise: str = ""
+    num_point: int = 8192
+    construct_res: int = 0
+    grid_res: int = 0
+    cloud_path: str = ""
+    shpnt_jitter: str = "uniform"          # passfunc | uniform | gaussian
+    point_features_dim: int = 64
+    gpu_maxthr: int = 1024                 # parity only (CUDA thread cap in reference)
+    radius_limit_scale: float = 5.0
+    depth_limit_scale: float = 1.3
+    default_conf: float = -1.0
+    vscale: Tuple[int, ...] = _t(2, 2, 2)
+    kernel_size: Tuple[int, ...] = _t(3, 3, 3)
+    query_size: Tuple[int, ...] = _t(0, 0, 0)
+    vsize: Tuple[float, ...] = _t(0.004, 0.004, 0.004)
+    wcoord_query: int = -1
+    ranges: Tuple[float, ...] = _t(-100.0, -100.0, -100.0, 100.0, 100.0, 100.0)
+    xyz_grad: int = 0
+    feat_grad: int = 1
+    conf_grad: int = 1
+    color_grad: int = 1
+    dir_grad: int = 1
+    feedforward: int = 0
+    inverse: int = 0
+    point_conf_mode: str = "1"             # "0": fold into features; "1": multiply weights
+    point_color_mode: str = "1"            # "0": fold into features; "1": color branch input
+    point_dir_mode: str = "1"              # "0": fold into features; "1": color branch input
+    feature_init_method: str = "rand"
+    point_init_emb_std: float = 0.0        # >0: init embeddings N(0, std) instead of U(-.5,.5)
+
+    # ---------------------------------------------------------------- aggregator
+    which_agg_model: str = "viewmlp"
+    agg_distance_kernel: str = "linear"    # quadric | numquadric | linear | numlinear | avg | trilinear
+    sh_degree: int = 4
+    sh_dist_func: str = "sh_quadric"
+    sh_act: str = "sigmoid"
+    agg_axis_weight: Optional[Tuple[float, ...]] = None
+    agg_dist_pers: int = 20
+    apply_pnt_mask: int = 1
+    modulator_concat: int = 0
+    agg_intrp_order: int = 2
+    shading_feature_mlp_layer0: int = 0
+    shading_feature_mlp_layer1: int = 2
+    shading_feature_mlp_layer2: int = 0
+    shading_feature_mlp_layer3: int = 2
+    shading_feature_num: int = 256
+    point_hyper_dim: int = 256
+    shading_alpha_mlp_layer: int = 1
+    shading_color_mlp_layer: int = 4
+    shading_color_channel_num: int = 3
+    num_feat_freqs: int = 3
+    num_hyperfeat_freqs: int = 0
+    dist_xyz_freq: int = 5
+    dist_xyz_deno: float = 0.0
+    weight_xyz_freq: int = 2
+    weight_feat_dim: int = 8
+    agg_weight_norm: int = 1
+    view_ori: int = 0
+    agg_feat_xyz_mode: str = "None"
+    agg_alpha_xyz_mode: str = "None"
+    agg_color_xyz_mode: str = "None"
+    act_type: str = "LeakyReLU"
+    act_super: int = 1
+
+    # ---------------------------------------------------------------- rendering
+    which_render_func: str = "radiance"
+    which_blend_func: str = "alpha"
+    which_tonemap_func: str = "off"
+    out_channels: int = 4
+    num_pos_freqs: int = 10
+    num_viewdir_freqs: int = 4
+    fine_sample_num: int = 0
+    bg_color: str = "white"
+    bgmodel: str = "no"
+    compute_depth: int = 0
+    raydist_mode_unit: int = 1
+    alpha_range: int = 0
+
+    # ---------------------------------------------------------------- losses
+    color_loss_items: Tuple[str, ...] = _t(
+        "ray_masked_coarse_raycolor", "ray_miss_coarse_raycolor", "coarse_raycolor")
+    color_loss_weights: Tuple[float, ...] = _t(1.0, 0.0, 0.0)
+    test_color_loss_items: Tuple[str, ...] = _t(
+        "coarse_raycolor", "ray_miss_coarse_raycolor", "ray_masked_coarse_raycolor")
+    depth_loss_items: Tuple[str, ...] = _t()
+    depth_loss_weights: Tuple[float, ...] = _t()
+    bg_loss_items: Tuple[str, ...] = _t()
+    bg_loss_weights: Tuple[float, ...] = _t()
+    zero_one_loss_items: Tuple[str, ...] = _t("conf_coefficient")
+    zero_one_loss_weights: Tuple[float, ...] = _t(0.0001)
+    l2_size_loss_items: Tuple[str, ...] = _t()
+    l2_size_loss_weights: Tuple[float, ...] = _t()
+    zero_epsilon: float = 1e-3
+    sparse_loss_weight: float = 0.0
+    visual_items: Tuple[str, ...] = _t("coarse_raycolor", "gt_image")
+
+    # ---------------------------------------------------------------- optimization
+    lr: float = 0.0005
+    plr: float = 0.002                     # neural-point parameter lr
+    lr_policy: str = "iter_exponential_decay"
+    lr_decay_iters: int = 1000000
+    lr_decay_exp: float = 0.1
+    niter: int = 10000
+    niter_decay: int = 10000
+    maximum_step: int = 200000
+    alter_step: int = 0
+    train_and_test: int = 0
+    test_num: int = 10
+    test_freq: int = 10000
+    test_num_step: int = 10
+    print_freq: int = 40
+    save_iter_freq: int = 10000
+    save_point_freq: int = 10000
+
+    # ---------------------------------------------------------------- prune / grow
+    prune_thresh: float = 0.1
+    prune_iter: int = -1
+    prune_max_iter: int = 9999999
+    prob_freq: int = 0
+    prob_num_step: int = 100
+    prob_thresh: float = 0.8
+    prob_mul: float = 1.0
+    prob_kernel_size: Tuple[float, ...] = _t()
+    prob_tiers: Tuple[int, ...] = _t(250000)
+    far_thresh: float = -1.0
+    prob: int = 0
+
+    # ---------------------------------------------------------------- MVS init
+    mode: int = 0
+    manual_depth_view: int = 1
+    pre_d_est: str = ""
+    manual_std_depth: float = 0.0
+    depth_conf_thresh: float = 0.8
+    geo_cnsst_num: int = 2
+    full_comb: int = 0
+    depth_vid: str = "0"
+    ref_vid: int = 0
+    trgt_id: int = 0
+    init_view_num: int = 3
+    depth_occ: int = 0
+    appr_feature_str0: Tuple[str, ...] = _t("imgfeat_0_0123", "dir_0", "point_conf")
+    vox_res: int = 0
+    resample_pnts: int = -1
+    bg_filtering: int = 0
+    num_each_depth: int = 1
+    depth_grid: int = 128
+
+    # ---------------------------------------------------------------- data
+    n_threads: int = 1
+    pin_data_in_memory: int = 1
+    normview: int = 0
+    img_wh: Tuple[int, ...] = _t(800, 800)
+    trainskip: int = 1
+    testskip: int = 1
+
+    # ---------------------------------------------------------------- misc runtime
+    vid: int = 250000
+    gen_vid: int = 0
+    no_loss: int = 0
+
+    # ---------------------------------------------------------------- tpu-native extras
+    mesh_rays: int = 1                     # data-parallel mesh size over the ray axis
+    grid_rebuild_every: int = 1            # rebuild point grid every N steps (1 = per step)
+    compute_dtype: str = "float32"         # float32 | bfloat16 for the aggregator MLP
+    seed: int = 0
+
+    # ------------------------------------------------------------------------- helpers
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def effective_query_size(self) -> Tuple[int, ...]:
+        # reference: neural_points.py:328 — query_size falls back to kernel_size
+        return self.kernel_size if self.query_size[0] == 0 else self.query_size
+
+    @property
+    def radius_limit(self) -> float:
+        # reference: point_query.py:35
+        return float(self.radius_limit_scale * max(self.vsize[0], self.vsize[1]))
+
+    def to_json(self) -> str:
+        def enc(v):
+            if isinstance(v, tuple):
+                return list(v)
+            return v
+        return json.dumps({k: enc(v) for k, v in dataclasses.asdict(self).items()},
+                          indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Options":
+        raw = json.loads(text)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+
+# ---------------------------------------------------------------------------- presets
+# Script-parity presets for the reference dev_scripts. Values transcribed from the
+# corresponding bash configs (reference: dev_scripts/w_n360/<scene>_cuda.sh).
+
+_NERF_SYNTH_RANGES = {
+    # reference: dev_scripts/w_n360/*_cuda.sh `ranges=`
+    "lego": (-0.638, -1.141, -0.346, 0.634, 1.149, 1.141),
+    "chair": (-0.720, -0.700, -0.995, 0.658, 0.706, 1.050),
+    "drums": (-1.125, -0.758, -0.455, 1.123, 0.939, 0.932),
+    "ficus": (-0.377, -0.858, -1.03, 0.555, 0.594, 1.2),
+    "hotdog": (-1.198, -1.286, -0.19, 1.198, 1.109, 0.312),
+    "materials": (-1.121, -0.759, -0.242, 1.1225, 0.963, 0.3),
+    "mic": (-1.252, -0.910, -0.742, 0.767, 1.082, 1.151),
+    "ship": (-1.354, -1.352, -0.608, 1.349, 1.36, 0.728),
+}
+
+
+def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
+    """Per-scene NeRF-Synthetic finetune config (reference: dev_scripts/w_n360/lego_cuda.sh)."""
+    base = Options(
+        experiment=f"{scan}_tpu",
+        scan=scan,
+        dataset_name="nerf_synth360_ft",
+        model="mvs_points_volumetric",
+        ranges=_NERF_SYNTH_RANGES.get(scan, (-100.0,) * 3 + (100.0,) * 3),
+        vsize=(0.004, 0.004, 0.004),
+        vscale=(2, 2, 2),
+        kernel_size=(3, 3, 3),
+        query_size=(3, 3, 3),
+        z_depth_dim=400,
+        max_o=830000,
+        SR=80,
+        K=8,
+        P=9,
+        NN=2,
+        radius_limit_scale=4.0,
+        depth_limit_scale=0.0,
+        agg_dist_pers=20,
+        agg_intrp_order=2,
+        agg_distance_kernel="linear",
+        agg_axis_weight=(1.0, 1.0, 1.0),
+        point_features_dim=32,
+        num_pos_freqs=10,
+        num_viewdir_freqs=4,
+        dist_xyz_freq=5,
+        num_feat_freqs=3,
+        shading_feature_mlp_layer1=2,
+        shading_feature_mlp_layer3=2,
+        shading_alpha_mlp_layer=1,
+        shading_color_mlp_layer=4,
+        shading_feature_num=256,
+        act_type="LeakyReLU",
+        point_conf_mode="1",
+        point_dir_mode="1",
+        point_color_mode="1",
+        default_conf=0.15,
+        which_ray_generation="near_far_linear",
+        near_plane=2.0,
+        far_plane=6.0,
+        which_tonemap_func="off",
+        which_render_func="radiance",
+        which_blend_func="alpha",
+        out_channels=4,
+        random_sample="random",
+        random_sample_size=60,
+        bg_color="white",
+        lr=0.0005,
+        plr=0.002,
+        lr_policy="iter_exponential_decay",
+        lr_decay_iters=1000000,
+        lr_decay_exp=0.1,
+        maximum_step=200000,
+        prune_thresh=0.1,
+        prune_iter=10001,
+        prune_max_iter=130000,
+        prob_freq=10001,
+        prob_num_step=20,
+        prob_thresh=0.7,
+        prob_mul=0.4,
+        prob_kernel_size=(3.0, 3.0, 3.0),
+        prob_tiers=(100000,),
+        zero_epsilon=1e-3,
+        zero_one_loss_items=("conf_coefficient",),
+        zero_one_loss_weights=(0.0001,),
+        color_loss_items=("ray_masked_coarse_raycolor",
+                          "ray_miss_coarse_raycolor", "coarse_raycolor"),
+        color_loss_weights=(1.0, 0.0, 0.0),
+        depth_conf_thresh=0.8,
+        geo_cnsst_num=0,
+        full_comb=1,
+        vox_res=320,
+        manual_depth_view=1,
+        init_view_num=3,
+        shpnt_jitter="uniform",
+        apply_pnt_mask=1,
+        raydist_mode_unit=1,
+    )
+    return base.replace(**overrides) if overrides else base
+
+
+PRESETS = {
+    "nerf_synth": nerf_synth_preset,
+}

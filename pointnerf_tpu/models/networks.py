@@ -1,0 +1,89 @@
+"""Parameter init, MLP apply, LR schedules.
+
+Reference: models/helpers/networks.py. Networks are plain pytrees of arrays applied by
+pure functions — no module framework — so the whole model state threads cleanly through
+jit/shard_map and optax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------- MLPs
+def _gain(act: str) -> float:
+    """torch.nn.init.calculate_gain equivalents used by the reference init_seq."""
+    if act == "ReLU":
+        return math.sqrt(2.0)
+    if act == "LeakyReLU":
+        neg = 0.1  # reference uses LeakyReLU(0.1) (networks.py:16)
+        return math.sqrt(2.0 / (1 + neg ** 2))
+    return 1.0
+
+
+def init_linear(key, n_in: int, n_out: int, gain: float = 1.0):
+    """Xavier-uniform like the reference (networks.py:109-122)."""
+    std = gain * math.sqrt(2.0 / (n_in + n_out))
+    bound = std * math.sqrt(3.0)
+    w = jax.random.uniform(key, (n_in, n_out), minval=-bound, maxval=bound,
+                           dtype=jnp.float32)
+    return {"w": w, "b": jnp.zeros((n_out,), dtype=jnp.float32)}
+
+
+def init_mlp(key, dims: Sequence[int], act: str, final_act: bool = True) -> List[Dict]:
+    """Stack of linear layers. Hidden layers get the activation gain; the reference
+    init_seq (networks.py:163-172) gives the *last* layer gain 1 when it has no
+    following activation."""
+    layers = []
+    keys = jax.random.split(key, len(dims) - 1)
+    for i in range(len(dims) - 1):
+        has_act = final_act or i < len(dims) - 2
+        g = _gain(act) if has_act else 1.0
+        layers.append(init_linear(keys[i], dims[i], dims[i + 1], g))
+    return layers
+
+
+def activation(name: str):
+    if name == "ReLU":
+        return jax.nn.relu
+    if name == "LeakyReLU":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.1)
+    if name == "SELU":
+        return jax.nn.selu
+    raise ValueError(f"unsupported act_type {name}")
+
+
+def apply_mlp(layers: List[Dict], x: jnp.ndarray, act, final_act: bool = True,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Apply the linear stack. Matmuls run in compute_dtype (bf16-ready), accumulate f32."""
+    for i, layer in enumerate(layers):
+        w = layer["w"].astype(compute_dtype)
+        x = jnp.dot(x.astype(compute_dtype), w,
+                    preferred_element_type=jnp.float32) + layer["b"]
+        if final_act or i < len(layers) - 1:
+            x = act(x)
+    return x
+
+
+# --------------------------------------------------------------------------- schedules
+def make_lr_schedule(opt, base_lr: float):
+    """LR schedule factory (reference: networks.py:41-68)."""
+    if opt.lr_policy == "iter_exponential_decay":
+        def sched(step):
+            return base_lr * jnp.power(opt.lr_decay_exp, step / opt.lr_decay_iters)
+        return sched
+    if opt.lr_policy == "lambda":
+        def sched(step):
+            frac = 1.0 - jnp.maximum(0.0, step - opt.niter) / float(opt.niter_decay + 1)
+            return base_lr * frac
+        return sched
+    if opt.lr_policy == "step":
+        def sched(step):
+            return base_lr * jnp.power(0.1, step // opt.lr_decay_iters)
+        return sched
+    raise NotImplementedError(f"lr policy {opt.lr_policy}")

@@ -1,0 +1,178 @@
+"""Deterministic voxel-grid construction over a neural point cloud.
+
+TPU-native replacement for the reference's racy CUDA grid build
+(reference: models/neural_points/cuda/query_worldcoords.cu:18-162 — claim_occ /
+map_coor2occ / fill_occ2pnts). Differences by design:
+
+* The reference claims voxel slots with atomicCAS and reservoir-samples overflow with
+  curand (cu:49-74, 150-159), so the point-to-bucket assignment is nondeterministic
+  run-to-run. Here the build is a pure function of (xyz, mask): points are sorted by
+  voxel id and bucketed in sorted order, keeping the first P per voxel and the first
+  max_o occupied voxels. Determinism makes the querier unit-testable.
+* The reference rebuilds the grid every iteration (train_ft hot loop §3.2 of SURVEY.md);
+  here build_grid is a separate jitted function whose output is carried across steps and
+  refreshed only when xyz changes (prune/grow/xyz-grad), configured by
+  `Options.grid_rebuild_every`.
+* The reference never fills bucket slot 0 due to an off-by-one (`voxel_idx > 0`,
+  cu:147); we do not replicate that bug.
+
+The dense `coor_2_occ` / dilated-occupancy arrays live in HBM; for the shipped scenes
+vdim is ~10^7 voxels → tens of MB.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """Static grid geometry — part of the jit cache key."""
+    ranges_min: Tuple[float, float, float]
+    scaled_vsize: Tuple[float, float, float]
+    vdim: Tuple[int, int, int]              # number of scaled voxels per axis
+    max_o: int                               # max occupied voxels
+    P: int                                   # max points per voxel bucket
+    kernel_size: Tuple[int, int, int]        # neighbor-search extent (voxels)
+    query_size: Tuple[int, int, int]         # occupancy dilation extent (voxels)
+    radius_limit: float                      # neighbor radius cap (world units); 0 = off
+    vsize: Tuple[float, float, float]        # unscaled voxel size (for shading dists)
+
+    @property
+    def grid_size_vol(self) -> int:
+        return int(self.vdim[0]) * int(self.vdim[1]) * int(self.vdim[2])
+
+
+def make_grid_spec(opt, points_min=None, points_max=None, max_points: int = 0) -> GridSpec:
+    """Host-side hyperparameter computation (reference: point_query.py:47-71).
+
+    ranges = (point bounds ∩ opt.ranges) padded by kernel_size*scaled_vsize/2. The
+    reference recomputes bounds from live points per step; we freeze them at
+    setup/regrow time so every shape downstream is static.
+    """
+    vsize = np.asarray(opt.vsize, dtype=np.float64)
+    vscale = np.asarray(opt.vscale, dtype=np.float64)
+    scaled_vsize = vsize * vscale
+    kernel = np.asarray(opt.kernel_size, dtype=np.int32)
+    ranges = np.asarray(opt.ranges, dtype=np.float64)
+    mn, mx = ranges[:3], ranges[3:]
+    if points_min is not None:
+        mn = np.maximum(np.asarray(points_min, dtype=np.float64), mn)
+    if points_max is not None:
+        mx = np.minimum(np.asarray(points_max, dtype=np.float64), mx)
+    mn = mn - scaled_vsize * kernel / 2.0
+    mx = mx + scaled_vsize * kernel / 2.0
+    vdim = np.ceil((mx - mn) / vsize / vscale).astype(np.int32)
+    max_o = opt.max_o
+    if max_o is None or max_o <= 0:
+        max_o = int(max(1, max_points))
+    qsize = opt.effective_query_size
+    return GridSpec(
+        ranges_min=tuple(float(v) for v in mn),
+        scaled_vsize=tuple(float(v) for v in scaled_vsize),
+        vdim=tuple(int(v) for v in vdim),
+        max_o=int(max_o),
+        P=int(opt.P),
+        kernel_size=tuple(int(k) for k in opt.kernel_size),
+        query_size=tuple(int(q) for q in qsize),
+        radius_limit=float(opt.radius_limit),
+        vsize=tuple(float(v) for v in vsize),
+    )
+
+
+def voxel_coords(xyz: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World position → integer scaled-voxel coords + in-bounds mask."""
+    mn = jnp.asarray(spec.ranges_min, dtype=xyz.dtype)
+    vs = jnp.asarray(spec.scaled_vsize, dtype=xyz.dtype)
+    coords = jnp.floor((xyz - mn) / vs).astype(jnp.int32)
+    vdim = jnp.asarray(spec.vdim, dtype=jnp.int32)
+    inb = jnp.all((coords >= 0) & (coords < vdim), axis=-1)
+    return coords, inb
+
+
+def linearize(coords: jnp.ndarray, spec: GridSpec) -> jnp.ndarray:
+    """[..., 3] int voxel coords → linear index (row-major, like cu:45)."""
+    _, vy, vz = spec.vdim
+    return (coords[..., 0] * (vy * vz) + coords[..., 1] * vz + coords[..., 2])
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
+    """Build the voxel→bucket structure. Pure function of (xyz, point_mask).
+
+    xyz: [N, 3] float32; point_mask: [N] bool (False = padded/pruned slot).
+    Returns a dict with:
+      coor_2_occ   [vol] int32       voxel linear id → occupied slot (-1 if empty)
+      occ_2_pnts   [max_o, P] int32  slot → point indices (-1 padded)
+      occ_numpnts  [max_o] int32     points per slot (clipped at P)
+      coor_occ     [vol] int8        occupancy dilated by query_size (cu:105-113)
+      num_occ      [] int32          number of occupied voxels (pre-cap)
+    """
+    N = xyz.shape[0]
+    vol = spec.grid_size_vol
+    coords, inb = voxel_coords(xyz, spec)
+    valid = inb & point_mask
+    lin = jnp.where(valid, linearize(coords, spec), vol)  # invalid → sentinel (sorts last)
+
+    order = jnp.argsort(lin, stable=True)                 # deterministic bucketing order
+    sorted_lin = lin[order]
+    sorted_valid = sorted_lin < vol
+
+    head = jnp.concatenate(
+        [sorted_valid[:1],
+         (sorted_lin[1:] != sorted_lin[:-1]) & sorted_valid[1:]])
+    slot = jnp.cumsum(head.astype(jnp.int32)) - 1         # occupied-voxel slot per point
+    num_occ = jnp.sum(head.astype(jnp.int32))
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(head, idx, 0))
+    rank = idx - seg_start                                 # index of point within voxel
+
+    keep = sorted_valid & (slot < spec.max_o)
+
+    # coor_2_occ: dense voxel → slot map
+    coor_2_occ = jnp.full((vol,), -1, dtype=jnp.int32)
+    scat_lin = jnp.where(keep & head, sorted_lin, vol)
+    coor_2_occ = coor_2_occ.at[scat_lin].set(
+        jnp.where(keep & head, slot, -1), mode="drop")
+
+    # occ_2_pnts buckets: first P points per voxel in sorted order (deterministic
+    # truncation replaces the reference's reservoir sampling, cu:150-159).
+    keep_p = keep & (rank < spec.P)
+    occ_2_pnts = jnp.full((spec.max_o, spec.P), -1, dtype=jnp.int32)
+    flat = jnp.where(keep_p, slot * spec.P + rank, spec.max_o * spec.P)
+    occ_2_pnts = occ_2_pnts.reshape(-1).at[flat].set(
+        jnp.where(keep_p, order.astype(jnp.int32), -1), mode="drop"
+    ).reshape(spec.max_o, spec.P)
+
+    occ_numpnts = jnp.zeros((spec.max_o,), dtype=jnp.int32)
+    occ_numpnts = occ_numpnts.at[jnp.where(keep_p, slot, spec.max_o)].add(
+        keep_p.astype(jnp.int32), mode="drop")
+
+    # dilated occupancy: scatter 1s then max-pool with the query_size window.
+    occ = jnp.zeros((vol,), dtype=jnp.int8)
+    occ = occ.at[scat_lin].set(jnp.where(keep & head, 1, 0).astype(jnp.int8),
+                               mode="drop")
+    occ3 = occ.reshape(spec.vdim)
+    q = spec.query_size
+    # voxel v is marked if an occupied voxel u satisfies v - u ∈ [-(q//2), (q-1)//2]
+    # (cu:105-113) ⇔ window over u - v ∈ [-(q-1)//2, q//2].
+    pads = tuple(((qq - 1) // 2, qq // 2) for qq in q)
+    coor_occ = jax.lax.reduce_window(
+        occ3, np.int8(0), jax.lax.max,
+        window_dimensions=q, window_strides=(1, 1, 1),
+        padding=pads).reshape(-1)
+
+    return {
+        "coor_2_occ": coor_2_occ,
+        "occ_2_pnts": occ_2_pnts,
+        "occ_numpnts": occ_numpnts,
+        "coor_occ": coor_occ,
+        "num_occ": num_occ,
+    }
