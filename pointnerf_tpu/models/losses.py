@@ -1,0 +1,66 @@
+"""Loss computation (reference: models/base_rendering_model.py:533-662).
+
+The reference selects masked rays with dynamic-shape masked_select; here every loss is a
+masked mean over the static ray batch, numerically identical for nonzero mask counts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+
+def _masked_mse(pred, gt, mask):
+    """mean over masked elements of (pred-gt)^2; 0 if mask empty."""
+    m = mask.astype(pred.dtype)
+    num = jnp.sum(jnp.square(pred - gt) * m[..., None])
+    den = jnp.sum(m) * pred.shape[-1]
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
+def compute_losses(opt, output: Dict, gt_image: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total training loss + per-item dict. gt_image: [B,R,3]."""
+    total = 0.0
+    items = {}
+    ray_mask = output["ray_mask"]
+
+    for name, w in zip(opt.color_loss_items, opt.color_loss_weights):
+        if name.startswith("ray_masked"):
+            key = name[len("ray_masked") + 1:]
+            loss = _masked_mse(output[key], gt_image, ray_mask)
+        elif name.startswith("ray_miss"):
+            key = name[len("ray_miss") + 1:]
+            # reference scales the miss MSE by the miss count
+            # (base_rendering_model.py:560) → sum of per-ray MSE
+            miss = (~ray_mask).astype(gt_image.dtype)
+            loss = jnp.sum(jnp.square(output[key] - gt_image) * miss[..., None]) \
+                / gt_image.shape[-1]
+        else:
+            loss = jnp.mean(jnp.square(output[name] - gt_image))
+        items["loss_" + name] = loss
+        total = total + loss * w + 1e-6
+
+    for name, w in zip(opt.zero_one_loss_items, opt.zero_one_loss_weights):
+        if name not in output or output[name] is None:
+            continue
+        val = jnp.clip(output[name], opt.zero_epsilon, 1.0 - opt.zero_epsilon)
+        loss = jnp.mean(jnp.log(val) + jnp.log(1.0 - val))
+        items["loss_" + name] = loss
+        total = total + loss * w
+
+    if opt.sparse_loss_weight > 0:
+        w_out = output["weight"]
+        conf = output["conf_coefficient"]
+        loss = jnp.sum(w_out * jnp.abs(1.0 - jnp.exp(-2.0 * conf))) \
+            / (jnp.sum(w_out) + 1e-6)
+        items["loss_sparse"] = loss
+        total = total + loss * opt.sparse_loss_weight
+
+    items["loss_total"] = total
+    return total, items
+
+
+def mse2psnr(mse):
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))

@@ -1,0 +1,152 @@
+"""Neural-point ray-marching renderer: the full forward pass as one pure function.
+
+TPU-native equivalent of NeuralPointsRayMarching
+(reference: models/neural_points_volumetric_model.py:222-364). Key design delta: the
+reference compacts valid rays (dynamic R') and scatters results back over the full ray
+batch in fill_invalid (reference: :87-123). Here shapes stay static; rays that miss all
+occupied voxels simply march through zero density, which makes their color exactly
+bg_color and their background transmission exactly 1 — fill_invalid becomes a no-op by
+construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import raygen, ray_march as rm
+from ..ops.camera import w2pers
+from ..ops.grid import GridSpec
+from ..ops.query import query_grid_points
+from . import neural_points as npc
+from .aggregator import aggregator_forward
+
+
+def render_forward(agg_params: Dict,
+                   point_state: Dict,
+                   grid: Dict,
+                   spec: GridSpec,
+                   opt,
+                   batch: Dict,
+                   key: Optional[jax.Array],
+                   is_train: bool,
+                   prob: bool = False,
+                   compute_dtype=jnp.float32) -> Dict:
+    """Render a batch of rays.
+
+    batch: raydir [B,R,3], campos [B,3], camrotc2w [B,3,3], near/far scalars,
+    bg_color [B,3] (or None-equivalent), optional bg_ray [B,R,3].
+    Returns the reference output dict (coarse_raycolor, ray_mask, opacity, ...).
+    """
+    raydir = batch["raydir"]
+    campos = batch["campos"]
+    camrotc2w = batch["camrotc2w"]
+    B, R, _ = raydir.shape
+
+    # 1. raw depth samples (reference point_query.py:78-81: jitter 0.3 at train)
+    gen = raygen.find_ray_generation_method(
+        "near_far_disparity_linear" if opt.inverse > 0 else "near_far_linear")
+    jitter = 0.3 if is_train else 0.0
+    raypos, _, _, _ = gen(campos, raydir, opt.z_depth_dim,
+                          near=batch["near"], far=batch["far"],
+                          jitter=jitter, key=key)
+
+    # 2. voxel walk + shading-point compaction + KNN
+    sample_pidx, sample_loc_w, ray_mask = query_grid_points(
+        raypos, point_state["xyz"], grid, spec, SR=opt.SR, K=opt.K)
+
+    # 3. gather neighbor attributes; perspective coords of shading locations
+    g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
+    sample_loc = w2pers(sample_loc_w, camrotc2w, campos)
+    sample_ray_dirs = jnp.broadcast_to(raydir[:, :, None, :], sample_loc.shape)
+
+    # 4. aggregate → per-shading-point [sigma, rgb]
+    decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
+        agg_params, opt,
+        g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
+        g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
+        g["sample_pnt_mask"], sample_loc, sample_loc_w, sample_ray_dirs,
+        spec.vsize, compute_dtype=compute_dtype)
+
+    # 5. ray distances from camera-depth cummax (reference: volumetric model :271-279)
+    vz = jnp.float32(spec.vsize[2])
+    zs = jax.lax.cummax(sample_loc[..., 2], axis=2)
+    ray_dist = jnp.concatenate(
+        [zs[..., 1:] - zs[..., :-1],
+         jnp.full(zs.shape[:-1] + (1,), vz, dtype=zs.dtype)], axis=-1)
+    bad = ray_dist < 1e-8
+    if opt.raydist_mode_unit > 0:
+        bad = bad | (ray_dist > 2 * vz)
+    ray_dist = jnp.where(bad, vz, ray_dist)
+    ray_dist = ray_dist * ray_valid.astype(ray_dist.dtype)
+
+    # 6. march + tonemap
+    render_func = rm.find_render_function(opt.which_render_func)
+    blend_func = rm.find_blend_function(opt.which_blend_func)
+    tonemap = rm.find_tone_map(opt.which_tonemap_func)
+    bg_color = batch.get("bg_color", None)
+    if "bg_ray" in batch:
+        bg_color = None
+    (ray_color, point_color, opacity, acc_transmission, blend_weight,
+     background_transmission, _) = rm.ray_march(
+        ray_dist, ray_valid, decoded, render_func, blend_func, bg_color)
+    ray_color = tonemap(ray_color)
+
+    output = {
+        "coarse_raycolor": ray_color,                     # [B,R,3]
+        "coarse_point_opacity": opacity,                  # [B,R,SR]
+        "coarse_is_background": background_transmission,  # [B,R,1]
+        "coarse_mask": 1.0 - background_transmission,
+        "ray_mask": ray_mask,                             # [B,R] bool
+        "queried_shading": jnp.logical_not(
+            jnp.any(ray_valid, axis=-1, keepdims=True)
+        ).astype(jnp.float32).repeat(3, axis=-1),
+        "weight": jax.lax.stop_gradient(weight),
+        "blend_weight": jax.lax.stop_gradient(blend_weight),
+        "conf_coefficient": conf_coefficient,
+    }
+
+    # bg_ray composition (reference fill_invalid :103-105): rays that hit keep their
+    # rendered color plus bg_ray attenuated by their transmission; missed rays get bg_ray.
+    if "bg_ray" in batch:
+        output["coarse_raycolor"] = ray_color + batch["bg_ray"] * background_transmission
+
+    if opt.compute_depth:
+        w = (opacity * acc_transmission)
+        zv = jax.lax.cummax(sample_loc[..., 2], axis=2)
+        output["coarse_depth"] = jnp.sum(w * zv, axis=-1) / (jnp.sum(w, axis=-1) + 1e-6)
+
+    # 7. probe-mode stats for point growing (reference: :331-362)
+    if prob:
+        op_max = jnp.max(opacity, axis=-1, keepdims=True)              # [B,R,1]
+        op_ind = jnp.argmax(opacity, axis=-1)                           # [B,R]
+        take = lambda a: jnp.take_along_axis(
+            a, op_ind[..., None, None].repeat(a.shape[-1], -1), axis=2)[:, :, 0]
+        output["ray_max_shading_opacity"] = op_max
+        output["ray_max_sample_loc_w"] = take(sample_loc_w)             # [B,R,3]
+        w_conf = weight * conf_coefficient                               # [B,R,SR,K]
+        sel_w = jnp.take_along_axis(
+            w_conf, op_ind[..., None, None].repeat(w_conf.shape[-1], -1),
+            axis=2)[:, :, 0][..., None]                                  # [B,R,K,1]
+
+        def take_k(a):
+            if a is None:
+                return None
+            return jnp.take_along_axis(
+                a, op_ind[..., None, None, None].repeat(a.shape[-2], -2)
+                .repeat(a.shape[-1], -1), axis=2)[:, :, 0]               # [B,R,K,C]
+
+        sxyz = take_k(g["sampled_xyz"])
+        output["ray_max_far_dist"] = jnp.min(
+            jnp.linalg.norm(sxyz - output["ray_max_sample_loc_w"][..., None, :],
+                            axis=-1), axis=-1, keepdims=True)
+        for name, arr in (("shading_avg_color", take_k(g["sampled_color"])),
+                          ("shading_avg_dir", take_k(g["sampled_dir"])),
+                          ("shading_avg_conf", take_k(g["sampled_conf"])),
+                          ("shading_avg_embedding", take_k(g["sampled_embedding"]))):
+            output[name] = None if arr is None else jnp.sum(arr * sel_w, axis=-2)
+
+    return output

@@ -1,0 +1,157 @@
+"""Per-scene optimization loop building blocks.
+
+Replaces the reference's BaseModel/optimizer plumbing
+(reference: models/base_model.py, models/mvs_points_volumetric_model.py:47-118,
+models/neural_points_volumetric_model.py:176-211):
+
+* two Adam chains — shading networks at `lr`, neural-point attributes at `plr`
+  (reference: mvs_points_volumetric_model.py:81-91),
+* `iter_exponential_decay` schedule applied per-iteration
+  (reference: networks.py:56-61),
+* `alter_step` alternation between the two optimizers
+  (reference: mvs_points_volumetric_model.py:114-118),
+* everything inside ONE jitted step: forward, loss, backward, both updates. Prune/grow
+  never rebuild optimizer state (padded-buffer design, see models/neural_points.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import neural_points as npc
+from ..models.aggregator import init_aggregator_params
+from ..models.losses import compute_losses
+from ..models.networks import make_lr_schedule
+from ..models.renderer import render_forward
+from ..ops.grid import GridSpec, build_grid
+
+
+COMPUTE_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+POINT_TRAINABLE_FLAGS = {
+    "embedding": "feat_grad",
+    "conf": "conf_grad",
+    "dir": "dir_grad",
+    "color": "color_grad",
+    "xyz": "xyz_grad",
+}
+
+
+def split_point_params(point_state: Dict, opt) -> Tuple[Dict, Dict]:
+    """Split point state into (trainable, static) by the *_grad flags
+    (reference: neural_points.py:133-229, 269-321)."""
+    trainable, static = {}, {}
+    for k, v in point_state.items():
+        flag = POINT_TRAINABLE_FLAGS.get(k)
+        if flag is not None and v is not None and getattr(opt, flag) > 0:
+            trainable[k] = v
+        else:
+            static[k] = v
+    return trainable, static
+
+
+def merge_point_params(trainable: Dict, static: Dict) -> Dict:
+    out = dict(static)
+    out.update(trainable)
+    return out
+
+
+class TrainState(NamedTuple):
+    agg_params: Dict
+    pt_train: Dict            # trainable point buffers
+    pt_static: Dict           # non-trainable point buffers (incl. mask, Rw2c)
+    opt_state_net: optax.OptState
+    opt_state_pts: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizers(opt):
+    net_tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999),
+        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.lr)(s)),
+    )
+    pts_tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999),
+        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.plr)(s)),
+    )
+    return net_tx, pts_tx
+
+
+def create_train_state(opt, key, point_state: Dict, start_step: int = 0) -> TrainState:
+    agg_params = init_aggregator_params(key, opt)
+    pt_train, pt_static = split_point_params(point_state, opt)
+    net_tx, pts_tx = make_optimizers(opt)
+    return TrainState(
+        agg_params=agg_params,
+        pt_train=pt_train,
+        pt_static=pt_static,
+        opt_state_net=net_tx.init(agg_params),
+        opt_state_pts=pts_tx.init(pt_train),
+        step=jnp.asarray(start_step, jnp.int32),
+    )
+
+
+def point_state_of(state: TrainState) -> Dict:
+    return merge_point_params(state.pt_train, state.pt_static)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "spec"))
+def train_step(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
+               opt, spec: GridSpec) -> Tuple[TrainState, Dict]:
+    """One optimization step (reference train hot loop, SURVEY.md §3.2)."""
+    net_tx, pts_tx = make_optimizers(opt)
+
+    def loss_fn(agg_params, pt_train):
+        point_state = merge_point_params(pt_train, state.pt_static)
+        output = render_forward(agg_params, point_state, grid, spec, opt, batch,
+                                key, is_train=True,
+                                compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+        total, items = compute_losses(opt, output, batch["gt_image"])
+        return total, items
+
+    (loss, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                              has_aux=True)(
+        state.agg_params, state.pt_train)
+    g_net, g_pts = grads
+
+    if opt.alter_step > 0:
+        phase = (state.step // opt.alter_step) % 2
+        net_on = (phase == 0).astype(jnp.float32)
+        pts_on = (phase == 1).astype(jnp.float32)
+        g_net = jax.tree.map(lambda g: g * net_on, g_net)
+        g_pts = jax.tree.map(lambda g: g * pts_on, g_pts)
+
+    upd_net, new_net_state = net_tx.update(g_net, state.opt_state_net,
+                                           state.agg_params)
+    upd_pts, new_pts_state = pts_tx.update(g_pts, state.opt_state_pts,
+                                           state.pt_train)
+    new_state = TrainState(
+        agg_params=optax.apply_updates(state.agg_params, upd_net),
+        pt_train=optax.apply_updates(state.pt_train, upd_pts),
+        pt_static=state.pt_static,
+        opt_state_net=new_net_state,
+        opt_state_pts=new_pts_state,
+        step=state.step + 1,
+    )
+    return new_state, items
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "spec", "prob"))
+def eval_step(state: TrainState, grid: Dict, batch: Dict, opt, spec: GridSpec,
+              prob: bool = False) -> Dict:
+    """No-grad forward for test/render (reference: base_model.test, run/train_ft.py:283-322)."""
+    point_state = point_state_of(state)
+    return render_forward(state.agg_params, point_state, grid, spec, opt, batch,
+                          key=None, is_train=False, prob=prob,
+                          compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def rebuild_grid(state: TrainState, spec: GridSpec) -> Dict:
+    point_state = point_state_of(state)
+    return build_grid(point_state["xyz"], point_state["mask"], spec)

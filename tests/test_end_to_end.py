@@ -1,0 +1,181 @@
+"""End-to-end render + overfit tests on a tiny synthetic scene (SURVEY.md §4/§7.2).
+
+The reference has no unit tests; its acceptance test is PSNR on real scenes. Here a
+fixed-seed synthetic plane scene provides a fast regression: rendering must be finite
+and masked correctly, and a short optimization must drive the loss down steeply.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.models import neural_points as npc
+from pointnerf_tpu.models.renderer import render_forward
+from pointnerf_tpu.ops.grid import make_grid_spec, build_grid
+from pointnerf_tpu.train import trainer
+
+
+def tiny_setup(R_side=8):
+    opt = Options(
+        vsize=(0.08, 0.08, 0.08), vscale=(1, 1, 1),
+        kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        ranges=(-0.5, -0.5, -0.1, 0.5, 0.5, 0.1),
+        max_o=4096, P=8, K=4, SR=8, z_depth_dim=64,
+        radius_limit_scale=4.0,
+        point_features_dim=8,
+        num_feat_freqs=2, dist_xyz_freq=3, num_viewdir_freqs=2, num_pos_freqs=4,
+        shading_feature_num=32,
+        shading_feature_mlp_layer1=1, shading_feature_mlp_layer3=1,
+        shading_alpha_mlp_layer=1, shading_color_mlp_layer=2,
+        agg_intrp_order=2, agg_distance_kernel="linear", agg_dist_pers=20,
+        point_conf_mode="1", point_color_mode="1", point_dir_mode="1",
+        which_tonemap_func="off", which_render_func="radiance",
+        which_blend_func="alpha",
+        near_plane=2.0, far_plane=4.0,
+        lr=0.01, plr=0.02, lr_policy="iter_exponential_decay",
+        lr_decay_iters=1000000, lr_decay_exp=0.1,
+        color_loss_items=("ray_masked_coarse_raycolor",),
+        color_loss_weights=(1.0,),
+        zero_one_loss_items=("conf_coefficient",),
+        zero_one_loss_weights=(0.0001,),
+        raydist_mode_unit=1,
+    )
+    # point cloud: grid on the z=0 plane
+    g = np.linspace(-0.4, 0.4, 21, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xyz = np.stack([gx, gy, np.zeros_like(gx)], axis=-1).reshape(-1, 3)
+    n = xyz.shape[0]
+    rng = np.random.RandomState(0)
+    emb = rng.uniform(-0.5, 0.5, (n, opt.point_features_dim)).astype(np.float32)
+    color = ((xyz[:, :2] + 0.5) @ np.array([[1, 0, 0], [0, 1, 0]], np.float32))
+    color = np.concatenate([color[:, :2], np.full((n, 1), 0.5, np.float32)], axis=-1)
+    dirs = np.tile(np.array([[0, 0, -1]], np.float32), (n, 1))
+    conf = np.full((n, 1), 0.8, np.float32)
+    state = npc.create_point_cloud(xyz, emb, color, dirs, conf)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=n)
+    grid = build_grid(state["xyz"], state["mask"], spec)
+
+    # camera at z=-3 looking along +z
+    campos = np.array([[0.0, 0.0, -3.0]], np.float32)
+    camrot = np.eye(3, dtype=np.float32)[None]
+    px = np.linspace(-0.15, 0.15, R_side, dtype=np.float32)
+    dx, dy = np.meshgrid(px, px, indexing="ij")
+    raydir = np.stack([dx, dy, np.ones_like(dx)], axis=-1).reshape(1, -1, 3)
+    raydir = raydir / np.linalg.norm(raydir, axis=-1, keepdims=True)
+    batch = {
+        "raydir": jnp.asarray(raydir),
+        "campos": jnp.asarray(campos),
+        "camrotc2w": jnp.asarray(camrot),
+        "near": 2.0, "far": 4.0,
+        "bg_color": jnp.ones((1, 3), jnp.float32),
+    }
+    return opt, state, spec, grid, batch, xyz
+
+
+def make_gt(batch, bg=1.0):
+    """GT: intersect rays with z=0 plane; color = (x+.5, y+.5, .5) inside the plate."""
+    raydir = np.asarray(batch["raydir"])[0]
+    campos = np.asarray(batch["campos"])[0]
+    t = (0.0 - campos[2]) / raydir[:, 2]
+    hit = campos[None] + t[:, None] * raydir
+    inside = (np.abs(hit[:, 0]) <= 0.4) & (np.abs(hit[:, 1]) <= 0.4)
+    gt = np.full((raydir.shape[0], 3), bg, np.float32)
+    gt[inside, 0] = hit[inside, 0] + 0.5
+    gt[inside, 1] = hit[inside, 1] + 0.5
+    gt[inside, 2] = 0.5
+    return jnp.asarray(gt[None]), inside
+
+
+def test_render_smoke():
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    out = trainer.eval_step(ts, grid, batch, opt, spec)
+    R = batch["raydir"].shape[1]
+    assert out["coarse_raycolor"].shape == (1, R, 3)
+    assert out["ray_mask"].shape == (1, R)
+    assert np.all(np.isfinite(np.asarray(out["coarse_raycolor"])))
+    gt, inside = make_gt(batch)
+    rm = np.asarray(out["ray_mask"][0])
+    # rays through the plate must be marked; far-out rays must not
+    assert rm[inside].mean() > 0.9
+    # missed rays render exactly bg color
+    missed = ~rm
+    col = np.asarray(out["coarse_raycolor"][0])
+    if missed.sum():
+        np.testing.assert_allclose(col[missed], 1.0, atol=1e-5)
+    # opacity within [0,1]
+    op = np.asarray(out["coarse_point_opacity"])
+    assert op.min() >= 0.0 and op.max() <= 1.0 + 1e-5
+
+
+def test_render_prob_outputs():
+    opt, state, spec, grid, batch, _ = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    out = trainer.eval_step(ts, grid, batch, opt, spec, prob=True)
+    R = batch["raydir"].shape[1]
+    assert out["ray_max_sample_loc_w"].shape == (1, R, 3)
+    assert out["ray_max_shading_opacity"].shape == (1, R, 1)
+    assert out["shading_avg_embedding"].shape == (1, R, opt.point_features_dim)
+    assert np.all(np.isfinite(np.asarray(out["ray_max_far_dist"])))
+
+
+def test_overfit_decreases_loss():
+    opt, state, spec, grid, batch, _ = tiny_setup()
+    gt, _ = make_gt(batch)
+    batch = dict(batch, gt_image=gt)
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(1), state)
+    key = jax.random.PRNGKey(2)
+    first = None
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        ts, items = trainer.train_step(ts, grid, batch, sub, opt, spec)
+        if i == 0:
+            first = float(items["loss_ray_masked_coarse_raycolor"])
+    last = float(items["loss_ray_masked_coarse_raycolor"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.35, (first, last)
+    assert int(ts.step) == 60
+
+
+def test_grads_respect_flags():
+    # xyz_grad=0 → xyz not in trainable set; feat_grad=1 → embedding trainable
+    opt, state, spec, grid, batch, _ = tiny_setup()
+    tr, st = trainer.split_point_params(state, opt)
+    assert "embedding" in tr and "conf" in tr and "color" in tr and "dir" in tr
+    assert "xyz" in st and "mask" in st
+    opt2 = opt.replace(feat_grad=0, xyz_grad=1)
+    tr2, st2 = trainer.split_point_params(state, opt2)
+    assert "xyz" in tr2 and "embedding" in st2
+
+
+def test_prune_and_grow_masked():
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    n = xyz.shape[0]
+    # push half the confs below threshold
+    conf = np.array(state["conf"])
+    conf[: n // 2] = 0.01
+    state = dict(state, conf=jnp.asarray(conf))
+    pruned = npc.prune(state, 0.1)
+    assert int(npc.num_active(pruned)) == n - n // 2
+    assert np.all(np.asarray(pruned["xyz"][: n // 2]) == npc.SENTINEL)
+
+    # grow 5 new points into freed slots
+    add_xyz = np.zeros((8, 3), np.float32)
+    add_xyz[:5] = [0.0, 0.0, 0.05]
+    add_mask = np.arange(8) < 5
+    grown, dropped = npc.grow(
+        pruned,
+        jnp.asarray(add_xyz),
+        jnp.zeros((8, opt.point_features_dim)),
+        jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+        jnp.full((8, 1), 0.3), jnp.asarray(add_mask))
+    assert int(dropped) == 0
+    assert int(npc.num_active(grown)) == n - n // 2 + 5
+    # grown points landed in previously-free slots with correct attributes
+    new_slots = np.asarray(grown["mask"]) & ~np.asarray(pruned["mask"])
+    assert new_slots.sum() == 5
+    np.testing.assert_allclose(np.asarray(grown["xyz"])[new_slots],
+                               [[0.0, 0.0, 0.05]] * 5)
+    np.testing.assert_allclose(np.asarray(grown["conf"])[new_slots], 0.3)

@@ -1,0 +1,172 @@
+"""Grid build + neighbor query vs a numpy brute-force oracle (SURVEY.md §7.2 phase 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.ops.grid import make_grid_spec, build_grid, GridSpec
+from pointnerf_tpu.ops.query import (mask_raypos, select_shading_points,
+                                     knn_neighbors, query_grid_points)
+
+
+def small_opt(**kw):
+    base = dict(
+        vsize=(0.1, 0.1, 0.1), vscale=(1, 1, 1), kernel_size=(3, 3, 3),
+        query_size=(3, 3, 3), ranges=(0.0, 0.0, 0.0, 1.0, 1.0, 1.0),
+        max_o=256, P=4, K=3, SR=4, radius_limit_scale=0.0,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def brute_voxel(xyz, spec):
+    mn = np.asarray(spec.ranges_min)
+    vs = np.asarray(spec.scaled_vsize)
+    return np.floor((xyz - mn) / vs).astype(np.int64)
+
+
+def test_grid_build_buckets():
+    opt = small_opt()
+    xyz = np.array([
+        [0.05, 0.05, 0.05],   # voxel of its own
+        [0.05, 0.05, 0.06],   # same voxel
+        [0.55, 0.55, 0.55],   # distant voxel
+        [5.0, 5.0, 5.0],      # out of range
+    ], dtype=np.float32)
+    spec = make_grid_spec(opt, points_min=xyz[:3].min(0), points_max=xyz[:3].max(0),
+                          max_points=4)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(4, bool), spec)
+    assert int(grid["num_occ"]) == 2
+    c2o = np.asarray(grid["coor_2_occ"])
+    occupied_slots = sorted(set(c2o[c2o >= 0].tolist()))
+    assert occupied_slots == [0, 1]
+    o2p = np.asarray(grid["occ_2_pnts"])
+    buckets = [sorted(x for x in o2p[s] if x >= 0) for s in occupied_slots]
+    assert sorted(map(tuple, buckets)) == [(0, 1), (2,)]
+    npnts = np.asarray(grid["occ_numpnts"])
+    assert sorted(npnts[npnts > 0].tolist()) == [1, 2]
+
+
+def test_grid_bucket_overflow_deterministic():
+    opt = small_opt(P=2)
+    xyz = np.full((5, 3), 0.05, dtype=np.float32)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=5)
+    g1 = build_grid(jnp.asarray(xyz), jnp.ones(5, bool), spec)
+    g2 = build_grid(jnp.asarray(xyz), jnp.ones(5, bool), spec)
+    np.testing.assert_array_equal(np.asarray(g1["occ_2_pnts"]),
+                                  np.asarray(g2["occ_2_pnts"]))
+    bucket = np.asarray(g1["occ_2_pnts"])[0]
+    assert (bucket >= 0).sum() == 2
+    assert int(np.asarray(g1["occ_numpnts"])[0]) == 2
+
+
+def test_point_mask_excludes_points():
+    opt = small_opt()
+    xyz = np.array([[0.05, 0.05, 0.05], [0.55, 0.55, 0.55]], dtype=np.float32)
+    spec = make_grid_spec(opt, max_points=2)
+    grid = build_grid(jnp.asarray(xyz), jnp.array([True, False]), spec)
+    assert int(grid["num_occ"]) == 1
+    o2p = np.asarray(grid["occ_2_pnts"])
+    assert set(o2p[o2p >= 0].tolist()) == {0}
+
+
+def test_dilated_occupancy():
+    opt = small_opt(query_size=(3, 3, 3))
+    xyz = np.array([[0.55, 0.55, 0.55]], dtype=np.float32)
+    spec = make_grid_spec(opt, max_points=1)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(1, bool), spec)
+    occ = np.asarray(grid["coor_occ"]).reshape(spec.vdim)
+    center = brute_voxel(xyz, spec)[0]
+    # all 27 neighbors occupied, two steps away not
+    for d in [(-1, 0, 0), (1, 1, 1), (0, -1, 1)]:
+        assert occ[tuple(center + d)] == 1
+    assert occ[tuple(center + np.array([2, 0, 0]))] == 0
+    assert occ.sum() == 27
+
+
+def test_shading_point_selection():
+    # 1 ray, 6 depth samples, valid pattern 0,1,1,0,1,1 with SR=3 keeps first 3 valid
+    raypos = np.arange(18, dtype=np.float32).reshape(1, 1, 6, 3)
+    valid = jnp.array([[[False, True, True, False, True, True]]])
+    loc, mask = select_shading_points(jnp.asarray(raypos), valid, 3)
+    assert mask.shape == (1, 1, 3)
+    assert bool(jnp.all(mask))
+    np.testing.assert_array_equal(np.asarray(loc[0, 0]),
+                                  raypos[0, 0, [1, 2, 4]])
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.RandomState(0)
+    opt = small_opt(K=4, P=8, radius_limit_scale=0.0)
+    xyz = rng.uniform(0.2, 0.8, size=(200, 3)).astype(np.float32)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=200)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(200, bool), spec)
+    # shading points at random locations
+    loc = rng.uniform(0.3, 0.7, size=(1, 2, 3, 3)).astype(np.float32)
+    mask = jnp.ones((1, 2, 3), bool)
+    pidx = np.asarray(knn_neighbors(jnp.asarray(loc), mask, jnp.asarray(xyz),
+                                    grid, spec, 4))
+    # oracle: KNN restricted to candidate set = buckets of the 27 neighboring voxels
+    o2p = np.asarray(grid["occ_2_pnts"])
+    c2o = np.asarray(grid["coor_2_occ"]).reshape(spec.vdim)
+    for b in range(1):
+        for r in range(2):
+            for s in range(3):
+                center = brute_voxel(loc[b, r, s], spec)
+                cands = []
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        for dz in (-1, 0, 1):
+                            v = center + np.array([dx, dy, dz])
+                            if np.any(v < 0) or np.any(v >= np.array(spec.vdim)):
+                                continue
+                            slot = c2o[tuple(v)]
+                            if slot >= 0:
+                                cands += [p for p in o2p[slot] if p >= 0]
+                cands = np.array(sorted(set(cands)))
+                got = set(int(i) for i in pidx[b, r, s] if i >= 0)
+                if len(cands) == 0:
+                    assert got == set()
+                    continue
+                d2 = np.sum((xyz[cands] - loc[b, r, s]) ** 2, axis=-1)
+                expect = set(cands[np.argsort(d2)[:4]].tolist())
+                assert got == expect, (got, expect)
+
+
+def test_knn_radius_limit():
+    opt = small_opt(K=3, radius_limit_scale=0.5)  # radius = 0.05
+    xyz = np.array([[0.50, 0.50, 0.50], [0.52, 0.50, 0.50], [0.58, 0.50, 0.50]],
+                   dtype=np.float32)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=3)
+    assert spec.radius_limit == pytest.approx(0.05)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(3, bool), spec)
+    loc = jnp.asarray(np.array([[[[0.50, 0.50, 0.50]]]], dtype=np.float32))
+    pidx = np.asarray(knn_neighbors(loc, jnp.ones((1, 1, 1), bool),
+                                    jnp.asarray(xyz), grid, spec, 3))[0, 0, 0]
+    got = set(int(i) for i in pidx if i >= 0)
+    assert got == {0, 1}  # point 2 is 0.08 away > 0.05 radius
+
+
+def test_full_query_ray_mask():
+    opt = small_opt(SR=4, K=2)
+    xyz = np.array([[0.5, 0.5, 0.5]], dtype=np.float32)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=1)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(1, bool), spec)
+    # ray 0 passes through the point; ray 1 far away
+    D = 16
+    t = np.linspace(0.0, 1.0, D, dtype=np.float32)
+    ray0 = np.stack([0.5 * np.ones(D), 0.5 * np.ones(D), t], axis=-1)
+    ray1 = np.stack([5.0 * np.ones(D), 5.0 * np.ones(D), t], axis=-1)
+    raypos = jnp.asarray(np.stack([ray0, ray1])[None])  # [1,2,D,3]
+    pidx, loc, ray_mask = query_grid_points(raypos, jnp.asarray(xyz), grid, spec,
+                                            SR=4, K=2)
+    assert pidx.shape == (1, 2, 4, 2)
+    rm = np.asarray(ray_mask)
+    assert rm[0, 0] and not rm[0, 1]
+    assert np.any(np.asarray(pidx)[0, 0] == 0)
+    assert np.all(np.asarray(pidx)[0, 1] == -1)
