@@ -1,0 +1,69 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's implicit DataParallel scatter/replicate/gather
+(reference: models/neural_points_volumetric_model.py:165-168) with explicit
+`jax.sharding` placement: batch leaves shard over ("batch", "rays"); everything
+else (aggregator params, point buffers, voxel grid, optimizer state) replicates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Batch keys carrying a ray axis at dim 1: [B, R, ...]. Everything else in a batch
+# (campos [B,3], camrotc2w [B,3,3], near/far scalars, bg_color) is per-camera or
+# scalar and shards only over "batch".
+RAY_AXIS_KEYS = frozenset({
+    "raydir", "gt_image", "pixel_idx", "bg_ray", "gt_mask", "gt_depth",
+})
+PER_CAMERA_KEYS = frozenset({
+    "campos", "camrotc2w", "intrinsic", "bg_color",
+})
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              batch_size: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1×N or B×(N/B) mesh with axes ("batch", "rays").
+
+    With batch_size=1 (the reference's per-scene finetune regime) all devices go to
+    the ray axis — the direct analog of DataParallel's ray-batch scatter.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = list(devices)[:n_devices]
+    b = int(np.gcd(batch_size, n_devices))
+    arr = np.asarray(devices).reshape(b, n_devices // b)
+    return Mesh(arr, axis_names=("batch", "rays"))
+
+
+def batch_pspec(batch: Dict) -> Dict:
+    """PartitionSpec tree for a render/train batch."""
+    specs = {}
+    for k, v in batch.items():
+        if k in RAY_AXIS_KEYS:
+            specs[k] = P("batch", "rays")
+        elif k in PER_CAMERA_KEYS and getattr(v, "ndim", 0) >= 1:
+            specs[k] = P("batch")
+        else:
+            specs[k] = P()
+    return specs
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place batch leaves on the mesh (rays split across chips over ICI)."""
+    specs = batch_pspec(batch)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh (params / points / grid / opt state)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

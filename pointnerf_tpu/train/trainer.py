@@ -100,11 +100,9 @@ def point_state_of(state: TrainState) -> Dict:
     return merge_point_params(state.pt_train, state.pt_static)
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "spec"))
-def train_step(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
-               opt, spec: GridSpec) -> Tuple[TrainState, Dict]:
-    """One optimization step (reference train hot loop, SURVEY.md §3.2)."""
-    net_tx, pts_tx = make_optimizers(opt)
+def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
+                       opt, spec: GridSpec):
+    """Loss items + gradients for both parameter groups (forward+backward only)."""
 
     def loss_fn(agg_params, pt_train):
         point_state = merge_point_params(pt_train, state.pt_static)
@@ -114,10 +112,23 @@ def train_step(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
         total, items = compute_losses(opt, output, batch["gt_image"])
         return total, items
 
-    (loss, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
-                                              has_aux=True)(
+    (_, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
         state.agg_params, state.pt_train)
-    g_net, g_pts = grads
+    return items, grads[0], grads[1]
+
+
+compute_grads = jax.jit(compute_grads_impl, static_argnames=("opt", "spec"))
+
+
+def train_step_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
+                    opt, spec: GridSpec) -> Tuple[TrainState, Dict]:
+    """One optimization step (reference train hot loop, SURVEY.md §3.2).
+
+    Pure (unjitted) so the parallel module can re-jit it with explicit shardings;
+    use `train_step` for the single-chip jitted entry point.
+    """
+    net_tx, pts_tx = make_optimizers(opt)
+    items, g_net, g_pts = compute_grads_impl(state, grid, batch, key, opt, spec)
 
     if opt.alter_step > 0:
         phase = (state.step // opt.alter_step) % 2
@@ -141,14 +152,19 @@ def train_step(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
     return new_state, items
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "spec", "prob"))
-def eval_step(state: TrainState, grid: Dict, batch: Dict, opt, spec: GridSpec,
-              prob: bool = False) -> Dict:
+train_step = jax.jit(train_step_impl, static_argnames=("opt", "spec"))
+
+
+def eval_step_impl(state: TrainState, grid: Dict, batch: Dict, opt, spec: GridSpec,
+                   prob: bool = False) -> Dict:
     """No-grad forward for test/render (reference: base_model.test, run/train_ft.py:283-322)."""
     point_state = point_state_of(state)
     return render_forward(state.agg_params, point_state, grid, spec, opt, batch,
                           key=None, is_train=False, prob=prob,
                           compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+
+
+eval_step = jax.jit(eval_step_impl, static_argnames=("opt", "spec", "prob"))
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -1,0 +1,93 @@
+"""SPMD data-parallel tests on the virtual 8-device CPU mesh (conftest).
+
+The reference never tests its DataParallel path (SURVEY.md §4 item 5); here the
+sharded train step must reproduce single-chip numerics exactly, because losses are
+global masked means (see pointnerf_tpu/parallel/dp.py docstring).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.parallel import (
+    make_mesh, replicate, shard_batch, make_dp_train_step, make_dp_eval_step)
+from pointnerf_tpu.train import trainer
+
+from test_end_to_end import tiny_setup, make_gt
+
+
+@pytest.fixture(scope="module")
+def scene():
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    gt, _ = make_gt(batch)
+    batch = dict(batch, gt_image=gt)
+    return opt, state, spec, grid, batch
+
+
+def test_mesh_shapes():
+    m = make_mesh(8, batch_size=1)
+    assert m.axis_names == ("batch", "rays")
+    assert m.devices.shape == (1, 8)
+    m2 = make_mesh(8, batch_size=2)
+    assert m2.devices.shape == (2, 4)
+
+
+def test_dp_train_step_matches_single_chip(scene):
+    opt, state, spec, grid, batch = scene
+    key = jax.random.PRNGKey(7)
+    ts0 = trainer.create_train_state(opt, jax.random.PRNGKey(3), state)
+
+    ts_ref, items_ref = trainer.train_step(ts0, grid, batch, key, opt, spec)
+
+    mesh = make_mesh(8, batch_size=1)
+    ts_m = replicate(ts0, mesh)
+    grid_m = replicate(grid, mesh)
+    batch_m = shard_batch(batch, mesh)
+    step = make_dp_train_step(opt, spec, mesh, batch_m)
+    ts_dp, items_dp = step(ts_m, grid_m, batch_m, replicate(key, mesh))
+
+    for k in items_ref:
+        np.testing.assert_allclose(np.asarray(items_dp[k]), np.asarray(items_ref[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+    assert int(ts_dp.step) == int(ts_ref.step)
+
+    # Gradients must match across sharding layouts. (Post-Adam params are NOT
+    # compared: the first Adam step is ~sign(g), so epsilon-level float diffs in
+    # near-zero grads between the two compiled programs flip entries by ±lr.)
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pointnerf_tpu.parallel.mesh import batch_pspec
+
+    _, gn_ref, gp_ref = trainer.compute_grads(ts0, grid, batch, key, opt, spec)
+    repl = NamedSharding(mesh, P())
+    bspec = {k: NamedSharding(mesh, s) for k, s in batch_pspec(batch_m).items()}
+    gfn = jax.jit(functools.partial(trainer.compute_grads_impl, opt=opt, spec=spec),
+                  in_shardings=(repl, repl, bspec, repl),
+                  out_shardings=(repl, repl, repl))
+    _, gn_dp, gp_dp = gfn(ts_m, grid_m, batch_m, replicate(key, mesh))
+    # float32 reduction order differs across the 8-way split; compare leaf norms —
+    # a wrong/missing psum would be off by ~100%, reduction jitter by <<1%.
+    for a, b in zip(jax.tree.leaves(gn_ref) + jax.tree.leaves(gp_ref),
+                    jax.tree.leaves(gn_dp) + jax.tree.leaves(gp_dp)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        err = np.linalg.norm(b - a)
+        assert err <= 0.05 * np.linalg.norm(a) + 1e-6, (err, np.linalg.norm(a))
+
+
+def test_dp_eval_matches_single_chip(scene):
+    opt, state, spec, grid, batch = scene
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(3), state)
+    out_ref = trainer.eval_step(ts, grid, batch, opt, spec)
+
+    mesh = make_mesh(8, batch_size=1)
+    batch_m = shard_batch(batch, mesh)
+    ev = make_dp_eval_step(opt, spec, mesh, batch_m)
+    out_dp = ev(replicate(ts, mesh), replicate(grid, mesh), batch_m)
+
+    np.testing.assert_allclose(np.asarray(out_dp["coarse_raycolor"]),
+                               np.asarray(out_ref["coarse_raycolor"]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out_dp["ray_mask"]),
+                                  np.asarray(out_ref["ray_mask"]))
