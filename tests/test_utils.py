@@ -1,0 +1,138 @@
+"""Tests for metrics, visualizer, checkpoint IO."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointnerf_tpu.utils import metrics as M
+from pointnerf_tpu.utils.visualizer import Visualizer, to8b
+from pointnerf_tpu.utils import checkpoint as C
+from pointnerf_tpu.train import trainer
+
+from test_end_to_end import tiny_setup
+
+
+def test_psnr_rmse():
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(0, 1, (16, 16, 3))
+    img = np.clip(gt + 0.1, 0, 1)
+    mse = np.mean((gt - img) ** 2)
+    np.testing.assert_allclose(M.psnr(gt, img), 10 * np.log10(1.0 / mse), rtol=1e-9)
+    np.testing.assert_allclose(M.rmse(gt, img), np.sqrt(mse), rtol=1e-9)
+    assert M.psnr(gt, gt) == float("inf")
+
+
+def test_ssim_properties():
+    rng = np.random.RandomState(1)
+    gt = rng.uniform(0, 1, (64, 64, 3))
+    assert abs(M.ssim(gt, gt) - 1.0) < 1e-9
+    noisy1 = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1)
+    noisy2 = np.clip(gt + rng.normal(0, 0.3, gt.shape), 0, 1)
+    s1, s2 = M.ssim(gt, noisy1), M.ssim(gt, noisy2)
+    assert 0 < s2 < s1 < 1
+    # symmetric
+    np.testing.assert_allclose(M.ssim(noisy1, gt), s1, rtol=1e-9)
+    # constant-shift known value: uniform images u1, u2 -> SSIM = analytic luminance term
+    a = np.full((32, 32), 0.4)
+    b = np.full((32, 32), 0.6)
+    C1 = (0.01) ** 2
+    expected = (2 * 0.4 * 0.6 + C1) / (0.4 ** 2 + 0.6 ** 2 + C1)
+    np.testing.assert_allclose(M.ssim(a, b), expected, rtol=1e-6)
+
+
+def test_report_metrics_dir(tmp_path):
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(2)
+    d = str(tmp_path)
+    for i in range(3):
+        gt = rng.uniform(0, 1, (32, 32, 3))
+        img = np.clip(gt + rng.normal(0, 0.02, gt.shape), 0, 1)
+        imageio.imwrite(os.path.join(d, "step-%04d-gt_image.png" % i), to8b(gt))
+        imageio.imwrite(os.path.join(d, "step-%04d-coarse_raycolor.png" % i), to8b(img))
+    means = M.report_metrics(d, d, d, ("psnr", "ssim", "rmse"))
+    assert means["psnr"] > 25 and 0.5 < means["ssim"] <= 1.0
+    assert os.path.exists(os.path.join(d, "scores.txt"))
+    assert os.path.exists(os.path.join(d, "psnr.txt"))
+    assert len(np.loadtxt(os.path.join(d, "psnr.txt")).reshape(-1)) == 3
+
+
+def test_visualizer(tmp_path):
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    opt = opt.replace(checkpoints_dir=str(tmp_path), experiment="viz")
+    viz = Visualizer(opt)
+    img = np.random.RandomState(0).uniform(0, 1, (8, 8, 3))
+    viz.display_current_results({"coarse_raycolor": img}, 5)
+    assert os.path.exists(os.path.join(viz.image_dir, "step-0005-coarse_raycolor.png"))
+    p = viz.save_neural_points(5, np.asarray(state["xyz"]),
+                               np.asarray(state["color"]),
+                               np.asarray(state["conf"]),
+                               np.asarray(state["mask"]))
+    pts = np.loadtxt(p)
+    assert pts.shape == (xyz.shape[0], 7)
+    viz.accumulate_losses({"loss_coarse_raycolor": 0.01})
+    viz.accumulate_losses({"loss_coarse_raycolor": 0.02})
+    means = viz.print_losses(5)
+    np.testing.assert_allclose(means["loss_coarse_raycolor"], 0.015)
+    assert "loss_coarse_raycolor_psnr" in means
+    assert os.path.exists(viz.log_path)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    d = str(tmp_path)
+    C.save_checkpoint(d, 7, ts, opt, best_psnr=31.5, best_iter=7)
+    assert C.latest_step(d) == 7
+
+    template = trainer.create_train_state(opt, jax.random.PRNGKey(42), state)
+    loaded, counters = C.load_checkpoint(d, template)
+    assert counters["total_steps"] == 7
+    assert abs(counters["best_PSNR"] - 31.5) < 1e-6
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_export_import_roundtrip(tmp_path):
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    path = os.path.join(str(tmp_path), "x.npz")
+    C.export_reference_npz(path, ts.agg_params, trainer.point_state_of(ts))
+    raw = dict(np.load(path))
+    # reference key names present
+    assert "aggregator.block1.0.weight" in raw
+    assert "neural_points.points_embeding" in raw
+    assert raw["neural_points.xyz"].shape[0] == 1  # [1,N,3] like the reference
+    agg, pts = C.import_reference_dict(raw, opt)
+    for branch in ts.agg_params:
+        for la, lb in zip(ts.agg_params[branch], agg[branch]):
+            np.testing.assert_allclose(np.asarray(la["w"]), np.asarray(lb["w"]),
+                                       rtol=1e-6)
+    n = int(np.asarray(state["mask"]).sum())
+    np.testing.assert_allclose(pts["xyz"], np.asarray(state["xyz"])[:n], rtol=1e-6)
+    np.testing.assert_allclose(pts["embedding"],
+                               np.asarray(state["embedding"])[:n], rtol=1e-6)
+
+
+def test_torch_import(tmp_path):
+    torch = __import__("torch")
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    # craft a torch state dict with reference names from our params
+    sd = {}
+    for branch, layers in ts.agg_params.items():
+        for i, l in enumerate(layers):
+            sd[f"aggregator.{branch}.{2*i}.weight"] = torch.from_numpy(
+                np.asarray(l["w"]).T.copy())
+            sd[f"aggregator.{branch}.{2*i}.bias"] = torch.from_numpy(
+                np.asarray(l["b"]).copy())
+    sd["neural_points.xyz"] = torch.from_numpy(np.asarray(state["xyz"])[None].copy())
+    sd["neural_points.points_embeding"] = torch.from_numpy(
+        np.asarray(state["embedding"])[None].copy())
+    p = os.path.join(str(tmp_path), "10000_net_ray_marching.pth")
+    torch.save(sd, p)
+    agg, pts = C.load_reference_torch(p, opt)
+    np.testing.assert_allclose(np.asarray(agg["block1"][0]["w"]),
+                               np.asarray(ts.agg_params["block1"][0]["w"]), rtol=1e-6)
+    assert pts["xyz"].shape == np.asarray(state["xyz"]).shape
