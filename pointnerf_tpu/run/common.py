@@ -1,0 +1,199 @@
+"""Shared driver machinery: point-cloud init, full-image rendering, CLI plumbing.
+
+Reference anchors: run/train_ft.py:636-732 (BRANCH C point loading), :252-414
+(chunked test render), models/mvs/mvs_utils.py:537-561 (voxel downsample).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Options, PRESETS
+from ..models import neural_points as npc
+from ..ops.grid import make_grid_spec, build_grid
+from ..train import trainer
+from ..data.base import chunks_of_item
+
+
+# ----------------------------------------------------------------- CLI plumbing
+def options_from_cli(argv=None, base: Optional[Options] = None) -> Options:
+    """argparse over the Options dataclass — same flag names as the reference's
+    ~150 argparse flags (reference: options/base_options.py)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", type=str, default="",
+                        help="preset name, e.g. nerf_synth:lego")
+    parser.add_argument("--config", type=str, default="",
+                        help="path to an Options json")
+    known, unknown = parser.parse_known_args(argv)
+
+    if known.config:
+        with open(known.config) as f:
+            base = Options.from_json(f.read())
+    elif known.preset:
+        name, _, scan = known.preset.partition(":")
+        base = PRESETS[name](scan or "lego")
+    base = base or Options()
+
+    fields = {f.name: f for f in dataclasses.fields(Options)}
+    over = argparse.ArgumentParser()
+    for name, f in fields.items():
+        cur = getattr(base, name)
+        if isinstance(cur, bool):
+            over.add_argument(f"--{name}", type=int, default=None)
+        elif isinstance(cur, tuple):
+            elem = float if (len(cur) and isinstance(cur[0], float)) else \
+                (int if (len(cur) and isinstance(cur[0], int)) else str)
+            over.add_argument(f"--{name}", type=elem, nargs="*", default=None)
+        elif cur is None:
+            over.add_argument(f"--{name}", type=str, default=None)
+        else:
+            over.add_argument(f"--{name}", type=type(cur), default=None)
+    ns = over.parse_args(unknown)
+    kw = {}
+    for name in fields:
+        v = getattr(ns, name)
+        if v is None:
+            continue
+        cur = getattr(base, name)
+        if isinstance(cur, bool):
+            v = bool(v)
+        elif isinstance(cur, tuple):
+            v = tuple(v)
+        elif cur is None and name == "max_o":
+            v = int(v)
+        kw[name] = v
+    return base.replace(**kw) if kw else base
+
+
+# ------------------------------------------------------------- point-cloud init
+def construct_vox_points_closest(xyz: np.ndarray, vox_res: int,
+                                 ranges: Optional[np.ndarray] = None
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Voxel downsample keeping the point nearest each voxel centroid.
+
+    Reference: mvs_utils.construct_vox_points_closest (mvs_utils.py:537-561,
+    via torch_scatter); here deterministic numpy. Returns (kept xyz, kept idx).
+    """
+    xyz = np.asarray(xyz, np.float64)
+    if ranges is None:
+        mn, mx = xyz.min(0), xyz.max(0)
+    else:
+        mn, mx = np.asarray(ranges[:3]), np.asarray(ranges[3:])
+    span = np.maximum(mx - mn, 1e-9)
+    vsize = span.max() / vox_res
+    coords = np.floor((xyz - mn) / vsize).astype(np.int64)
+    dims = coords.max(0) + 1
+    lin = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+
+    order = np.argsort(lin, kind="stable")
+    lin_s = lin[order]
+    starts = np.flatnonzero(np.concatenate([[True], lin_s[1:] != lin_s[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(lin_s)]]))
+
+    # centroid per voxel, then nearest point to it
+    sums = np.add.reduceat(xyz[order], starts, axis=0)
+    centroids = sums / counts[:, None]
+    keep = np.empty(len(starts), np.int64)
+    for vi, (s, c) in enumerate(zip(starts, counts)):
+        seg = order[s:s + c]
+        d = np.sum((xyz[seg] - centroids[vi]) ** 2, axis=-1)
+        keep[vi] = seg[np.argmin(d)]
+    keep.sort()
+    return xyz[keep].astype(np.float32), keep
+
+
+def init_point_state_from_dataset(opt, dataset, key) -> Dict:
+    """BRANCH C of the reference driver (train_ft.py:636-732): load provided
+    points, crop to ranges, voxel-downsample, init per-point attributes.
+
+    Without the MVS embedding network (build phase 6) features follow
+    opt.feature_init_method; colors come from the ply when present.
+    """
+    from ..data.ply import read_ply_points
+    import os
+    path = os.path.join(opt.data_root, opt.scan, "colmap_results/dense/fused.ply")
+    xyz, rgb = read_ply_points(path)
+
+    ranges = np.asarray(opt.ranges, np.float32)
+    if ranges[0] > -99.0:
+        keep = np.all((xyz >= ranges[:3]) & (xyz <= ranges[3:]), axis=-1)
+        xyz = xyz[keep]
+        rgb = rgb[keep] if rgb is not None else None
+    if opt.vox_res > 0:
+        xyz, idx = construct_vox_points_closest(xyz, opt.vox_res)
+        rgb = rgb[idx] if rgb is not None else None
+    n = xyz.shape[0]
+
+    # nearest-view directions (reference: train_ft.py:706-710 nearest_view)
+    campos, camdirs = dataset.get_campos_ray()
+    d = xyz[:, None, :] - campos[None]                    # [N,V,3]
+    nearest = np.argmin(np.linalg.norm(d, axis=-1), axis=-1)
+    dirs = d[np.arange(n), nearest]
+    dirs = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-6)
+
+    method = opt.feature_init_method
+    rng = np.random.RandomState(opt.seed)
+    C = opt.point_features_dim
+    if method == "rand":
+        emb = rng.uniform(-0.5, 0.5, (n, C)).astype(np.float32)
+    elif method == "zeros":
+        emb = np.zeros((n, C), np.float32)
+    elif method.startswith("gau"):
+        emb = rng.normal(0, float(method.split("_")[1]), (n, C)).astype(np.float32)
+    else:
+        emb = rng.uniform(-0.5, 0.5, (n, C)).astype(np.float32)
+
+    conf_val = opt.default_conf if opt.default_conf > 0 else 0.3
+    conf = np.full((n, 1), conf_val, np.float32)
+    color = rgb if rgb is not None else np.full((n, 3), 0.5, np.float32)
+    return npc.create_point_cloud(xyz, emb, color, dirs.astype(np.float32), conf)
+
+
+def make_spec_and_grid(opt, state):
+    mask = np.asarray(state["mask"])
+    xyz = np.asarray(state["xyz"])[mask]
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=int(mask.sum()))
+    grid = build_grid(state["xyz"], state["mask"], spec)
+    return spec, grid
+
+
+# ----------------------------------------------------------- full-image render
+PROBE_KEYS = ("coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
+              "ray_max_far_dist", "ray_max_shading_opacity", "shading_avg_color",
+              "shading_avg_dir", "shading_avg_conf", "shading_avg_embedding")
+
+
+def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
+                 keys: Tuple[str, ...] = ("coarse_raycolor", "ray_mask")
+                 ) -> Dict[str, np.ndarray]:
+    """Chunked full-image render: scatter ray chunks into [H,W,C] host maps
+    (reference: run/train_ft.py:283-322 test / :470-494 probe_hole)."""
+    H, W = int(item["h"]), int(item["w"])
+    chunk = opt.random_sample_size ** 2
+    maps: Dict[str, np.ndarray] = {}
+    pix = item["pixel_idx"][0].astype(np.int64)
+    for sub, s, e in chunks_of_item(item, chunk):
+        batch = {k: v for k, v in sub.items()
+                 if k in ("raydir", "campos", "camrotc2w", "near", "far",
+                          "bg_color", "gt_image")}
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = trainer.eval_step(ts, grid, batch, opt, spec, prob=prob)
+        px, py = pix[s:e, 0], pix[s:e, 1]
+        for key in keys:
+            if key not in out or out[key] is None:
+                continue
+            arr = np.asarray(out[key][0], np.float32)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            arr = arr[: e - s]
+            if key not in maps:
+                maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
+            maps[key][py, px] = arr
+    return maps

@@ -1,0 +1,296 @@
+"""Per-scene finetune driver — the flagship entry point.
+
+Reference: run/train_ft.py (epoch loop :829-1011, probe_hole :417-530,
+test :252-414). Structural deltas, all TPU-motivated:
+
+* prune/grow are masked buffer updates — no optimizer rebuild, no process
+  restart (the reference saves + exit()s after every grow, :878-911, relying
+  on an outer bash loop); capacity exhaustion triggers a host-side buffer
+  expansion that preserves per-slot Adam moments;
+* the voxel grid is rebuilt only when points move (prune/grow), not every
+  step (reference rebuilds per step inside the CUDA querier);
+* everything in the hot loop is one jitted train_step with static shapes.
+
+Usage: python -m pointnerf_tpu.run.train_ft --preset nerf_synth:lego \
+           --data_root <dir> [--flag value ...]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Options
+from ..data import create_dataset
+from ..models import neural_points as npc
+from ..train import trainer
+from ..utils.checkpoint import save_checkpoint, load_checkpoint, latest_step
+from ..utils.metrics import psnr as psnr_fn, report_metrics
+from ..utils.visualizer import Visualizer
+from .common import (init_point_state_from_dataset, make_spec_and_grid,
+                     options_from_cli, render_image, PROBE_KEYS)
+
+
+def bloat_mask(mask: np.ndarray, shift: int = 1) -> np.ndarray:
+    """Dilate a [H,W] bool mask by ±shift pixels (reference bloat_inds,
+    train_ft.py:532-540)."""
+    out = mask.copy()
+    H, W = mask.shape
+    for dy in range(-shift, shift + 1):
+        for dx in range(-shift, shift + 1):
+            ys = slice(max(0, dy), min(H, H + dy))
+            yd = slice(max(0, -dy), min(H, H - dy))
+            xs = slice(max(0, dx), min(W, W + dx))
+            xd = slice(max(0, -dx), min(W, W - dx))
+            out[yd, xd] |= mask[ys, xs]
+    return out
+
+
+def probe_hole(ts, grid, opt, spec, dataset, frame_ids, visualizer,
+               total_steps: int) -> Dict[str, np.ndarray]:
+    """Find ray-miss holes and collect new point candidates
+    (reference: train_ft.py:417-530)."""
+    # tiered query-size enlargement (reference :425-430)
+    probe_opt = opt
+    if len(opt.prob_kernel_size) >= 3:
+        tier = int(np.sum(np.asarray(opt.prob_tiers) < total_steps))
+        ks = opt.prob_kernel_size[tier * 3: tier * 3 + 3]
+        if len(ks) == 3:
+            probe_opt = opt.replace(query_size=tuple(int(k) for k in ks))
+    probe_opt = probe_opt.replace(random_sample="no_crop")
+    # enlarged dilation needs a re-specced grid
+    from .common import make_spec_and_grid
+    from ..ops.grid import build_grid, make_grid_spec
+    pstate = trainer.point_state_of(ts)
+    mask = np.asarray(pstate["mask"])
+    xyz_np = np.asarray(pstate["xyz"])[mask]
+    pspec = make_grid_spec(probe_opt, points_min=xyz_np.min(0),
+                           points_max=xyz_np.max(0), max_points=int(mask.sum()))
+    pgrid = build_grid(pstate["xyz"], pstate["mask"], pspec)
+
+    cand: Dict[str, list] = {k: [] for k in
+                             ("xyz", "embedding", "color", "dir", "conf")}
+    for fid in frame_ids:
+        item = dataset.get_item(int(fid), full_img=True)
+        maps = render_image(ts, pgrid, probe_opt, pspec, item, prob=True,
+                            keys=PROBE_KEYS)
+        H, W = int(item["h"]), int(item["w"])
+        gt = item["gt_image"][0].reshape(H, W, 3)
+        bg = item["bg_color"][0]
+
+        ray_mask = maps["ray_mask"][..., 0] > 0
+        nonbg = np.linalg.norm(gt - bg, axis=-1) > 0.002
+        miss = (~ray_mask) & nonbg
+        neighboring = bloat_mask(miss, 1)
+        if opt.far_thresh > 0 and "ray_max_far_dist" in maps:
+            far = ray_mask & (maps["ray_max_far_dist"][..., 0] > opt.far_thresh) \
+                & (np.linalg.norm(gt - maps["coarse_raycolor"], axis=-1) < 0.1)
+            neighboring |= far
+        sel = ray_mask & neighboring & \
+            (maps["ray_max_shading_opacity"][..., 0] > opt.prob_thresh)
+        if not sel.any():
+            continue
+        cand["xyz"].append(maps["ray_max_sample_loc_w"][sel])
+        cand["embedding"].append(maps["shading_avg_embedding"][sel])
+        cand["color"].append(maps["shading_avg_color"][sel])
+        cand["dir"].append(maps["shading_avg_dir"][sel])
+        cand["conf"].append(maps["shading_avg_conf"][sel] * opt.prob_mul)
+
+    if not cand["xyz"]:
+        return {}
+    out = {k: np.concatenate(v, axis=0) for k, v in cand.items()}
+    visualizer.save_neural_points(f"prob{total_steps:04d}", out["xyz"], None)
+    visualizer.print_details(
+        f"probe_hole found {len(out['xyz'])} candidate points")
+    return out
+
+
+def grow_from_candidates(ts, opt, cand: Dict[str, np.ndarray]):
+    """Masked grow, expanding capacity if free slots run out
+    (reference exits the process here, train_ft.py:878-911)."""
+    state = trainer.point_state_of(ts)
+    n_new = len(cand["xyz"])
+    free = int(np.sum(~np.asarray(state["mask"])))
+    if n_new > free:
+        new_cap = npc.round_capacity(state["mask"].shape[0] + (n_new - free))
+        ts = trainer.expand_capacity(ts, new_cap)
+        state = trainer.point_state_of(ts)
+    grown, dropped = npc.grow(
+        state,
+        jnp.asarray(cand["xyz"]), jnp.asarray(cand["embedding"]),
+        jnp.asarray(cand["color"]), jnp.asarray(cand["dir"]),
+        jnp.asarray(cand["conf"]),
+        jnp.ones((n_new,), bool))
+    pt_train, pt_static = trainer.split_point_params(grown, opt)
+    return ts._replace(pt_train=pt_train, pt_static=pt_static), int(dropped)
+
+
+def prune_points(ts, opt):
+    state = trainer.point_state_of(ts)
+    pruned = npc.prune(state, opt.prune_thresh)
+    pt_train, pt_static = trainer.split_point_params(pruned, opt)
+    return ts._replace(pt_train=pt_train, pt_static=pt_static)
+
+
+def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
+         max_images: Optional[int] = None, write_images: bool = True
+         ) -> float:
+    """Render the held-out split, PSNR per image (reference: train_ft.py:252-414)."""
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    psnrs = []
+    for i in range(n):
+        item = dataset.get_item(i, full_img=True)
+        maps = render_image(ts, grid, opt.replace(random_sample="no_crop"),
+                            spec, item, keys=("coarse_raycolor", "ray_mask"))
+        H, W = int(item["h"]), int(item["w"])
+        gt = item["gt_image"][0].reshape(H, W, 3)
+        img = maps["coarse_raycolor"]
+        # rays the querier skipped render bg (fill_invalid equivalent)
+        p = psnr_fn(gt, img)
+        psnrs.append(p)
+        if write_images:
+            visualizer.display_current_results(
+                {"coarse_raycolor": img, "gt_image": gt}, i,
+                subdir=f"test_{total_steps}")
+    mean_psnr = float(np.mean(psnrs))
+    visualizer.print_details(
+        f"test at {total_steps}: PSNR {mean_psnr:.3f} over {n} images")
+    return mean_psnr
+
+
+def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
+    key = jax.random.PRNGKey(opt.seed)
+    rng = np.random.RandomState(opt.seed)
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "opt.json"), "w") as f:
+        f.write(opt.to_json())
+    visualizer = Visualizer(opt)
+
+    train_ds = create_dataset(opt, split="train")
+    test_ds = create_dataset(opt, split="test")
+
+    # ---------------------------------------------------------------- init/resume
+    point_state = init_point_state_from_dataset(opt, train_ds, key)
+    ts = trainer.create_train_state(opt, key, point_state)
+    total_steps, best_psnr, best_iter = 0, 0.0, 0
+    if latest_step(ckpt_dir) is not None:
+        ts, counters = load_checkpoint(ckpt_dir, ts)
+        total_steps = counters["total_steps"]
+        best_psnr = counters.get("best_PSNR", 0.0)
+        best_iter = counters.get("best_iter", 0)
+        visualizer.print_details(f"resumed at step {total_steps}")
+    spec, grid = make_spec_and_grid(opt, trainer.point_state_of(ts))
+
+    n_active = int(npc.num_active(trainer.point_state_of(ts)))
+    visualizer.print_details(
+        f"start: {n_active} active points, grid {spec.vdim}, steps {total_steps}")
+
+    # ray-miss frame ranking (reference: mvs_points_volumetric_model.py:134-166)
+    num_probe = max(1, len(train_ds) // max(1, opt.prob_num_step))
+    top_miss_loss = np.zeros(num_probe + 1, np.float32)
+    top_miss_ids = np.arange(num_probe + 1, dtype=np.int64) % len(train_ds)
+
+    stop_at = min(opt.maximum_step, total_steps + max_steps) if max_steps \
+        else opt.maximum_step
+    t_start = time.time()
+    while total_steps < stop_at:
+        # ------------------------------------------------ prune (reference :834-842)
+        if opt.prune_iter > 0 and 0 < total_steps <= opt.prune_max_iter \
+                and total_steps % opt.prune_iter == 0:
+            before = int(npc.num_active(trainer.point_state_of(ts)))
+            ts = prune_points(ts, opt)
+            grid = trainer.rebuild_grid(ts, spec)
+            after = int(npc.num_active(trainer.point_state_of(ts)))
+            visualizer.print_details(
+                f"prune at {total_steps}: {before} -> {after} points")
+
+        # ------------------------------------------------ grow (reference :844-911)
+        if opt.prob_freq > 0 and 0 < total_steps < opt.maximum_step - 1 \
+                and total_steps % opt.prob_freq == 0:
+            if top_miss_loss[0] > 1e-5 or opt.far_thresh > 0:
+                mask = top_miss_loss[:-1] > 0
+                frame_ids = top_miss_ids[:-1][mask][:num_probe]
+                if len(frame_ids) == 0:
+                    frame_ids = rng.permutation(len(train_ds))[:num_probe]
+                cand = probe_hole(ts, grid, opt, spec, train_ds, frame_ids,
+                                  visualizer, total_steps)
+                if cand:
+                    before = int(npc.num_active(trainer.point_state_of(ts)))
+                    ts, dropped = grow_from_candidates(ts, opt, cand)
+                    grid = trainer.rebuild_grid(ts, spec)
+                    after = int(npc.num_active(trainer.point_state_of(ts)))
+                    visualizer.print_details(
+                        f"grow at {total_steps}: {before} -> {after} points"
+                        f" (dropped {dropped})")
+                top_miss_loss[:] = 0
+                top_miss_ids[:] = np.arange(num_probe + 1) % len(train_ds)
+
+        # ------------------------------------------------ train step
+        fid = int(rng.randint(len(train_ds)))
+        item = train_ds.get_item(fid, rng=rng)
+        batch = {k: jnp.asarray(v) for k, v in item.items()
+                 if k in ("raydir", "campos", "camrotc2w", "near", "far",
+                          "bg_color", "gt_image")}
+        key, sub = jax.random.split(key)
+        ts, items = trainer.train_step(ts, grid, batch, sub, opt, spec)
+        total_steps += 1
+
+        if opt.grid_rebuild_every > 0 and opt.xyz_grad > 0 and \
+                total_steps % opt.grid_rebuild_every == 0:
+            grid = trainer.rebuild_grid(ts, spec)
+
+        # ray-miss ranking update
+        miss_key = "loss_ray_miss_coarse_raycolor"
+        if opt.prob_freq > 0 and miss_key in items:
+            loss_miss = float(items[miss_key])
+            hit = np.flatnonzero(top_miss_ids == fid)
+            if len(hit):
+                top_miss_loss[hit] = np.maximum(top_miss_loss[hit], loss_miss)
+            else:
+                top_miss_ids[-1] = fid
+                top_miss_loss[-1] = loss_miss
+            order = np.argsort(-top_miss_loss, kind="stable")
+            top_miss_loss, top_miss_ids = top_miss_loss[order], top_miss_ids[order]
+
+        visualizer.accumulate_losses(
+            {k: float(v) for k, v in items.items()})
+        if total_steps % opt.print_freq == 0:
+            visualizer.print_losses(total_steps)
+        if opt.save_point_freq > 0 and total_steps % opt.save_point_freq == 0:
+            st = trainer.point_state_of(ts)
+            visualizer.save_neural_points(
+                total_steps, np.asarray(st["xyz"]),
+                np.asarray(st["color"]) if st["color"] is not None else None,
+                np.asarray(st["conf"]) if st["conf"] is not None else None,
+                np.asarray(st["mask"]))
+        if total_steps % opt.save_iter_freq == 0:
+            save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
+        if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
+            cur = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
+                       max_images=opt.test_num)
+            if cur > best_psnr:
+                best_psnr, best_iter = cur, total_steps
+
+    # ---------------------------------------------------------------- final
+    save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
+    final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps)
+    if final_psnr > best_psnr:
+        best_psnr, best_iter = final_psnr, total_steps
+    visualizer.print_details(
+        f"done: {total_steps} steps in {time.time() - t_start:.1f}s, "
+        f"final PSNR {final_psnr:.3f}, best {best_psnr:.3f}@{best_iter}")
+    img_dir = os.path.join(visualizer.image_dir, f"test_{total_steps}")
+    scores = report_metrics(img_dir, img_dir, img_dir, ("psnr", "ssim", "rmse"))
+    return {"total_steps": total_steps, "final_psnr": final_psnr,
+            "best_psnr": best_psnr, "best_iter": best_iter, "scores": scores,
+            "state": ts, "grid": grid, "spec": spec}
+
+
+if __name__ == "__main__":
+    main(options_from_cli())

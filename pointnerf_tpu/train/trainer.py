@@ -171,3 +171,52 @@ eval_step = jax.jit(eval_step_impl, static_argnames=("opt", "spec", "prob"))
 def rebuild_grid(state: TrainState, spec: GridSpec) -> Dict:
     point_state = point_state_of(state)
     return build_grid(point_state["xyz"], point_state["mask"], spec)
+
+
+def expand_capacity(state: TrainState, new_cap: int) -> TrainState:
+    """Grow the padded point buffers (host-side, rare).
+
+    The reference rebuilds optimizers wholesale on every grow (train_ft.py:872)
+    and even restarts the process; here only genuine capacity exhaustion
+    reallocates, and the per-slot Adam moments carry over (fresh slots get
+    zero moments — exactly what Adam.init would give them).
+    """
+    from ..models.neural_points import SENTINEL
+
+    def pad_buf(buf, fill):
+        if buf is None or buf.ndim == 0 or buf.shape[0] >= new_cap:
+            return buf
+        pad_shape = (new_cap - buf.shape[0],) + buf.shape[1:]
+        return jnp.concatenate(
+            [buf, jnp.full(pad_shape, fill, dtype=buf.dtype)], axis=0)
+
+    old_cap = state.pt_static["mask"].shape[0] if "mask" in state.pt_static else \
+        next(iter(state.pt_train.values())).shape[0]
+    if new_cap <= old_cap:
+        return state
+
+    def pad_points(d):
+        out = {}
+        for k, v in d.items():
+            if v is None or not hasattr(v, "ndim") or v.ndim == 0 or \
+                    v.shape[:1] != (old_cap,):
+                out[k] = v
+            else:
+                out[k] = pad_buf(v, SENTINEL if k == "xyz" else
+                                 (False if k == "mask" else 0.0))
+        return out
+
+    def pad_opt(tree):
+        return jax.tree.map(
+            lambda leaf: pad_buf(leaf, 0.0)
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == old_cap
+            else leaf, tree)
+
+    return TrainState(
+        agg_params=state.agg_params,
+        pt_train=pad_points(state.pt_train),
+        pt_static=pad_points(state.pt_static),
+        opt_state_net=state.opt_state_net,
+        opt_state_pts=pad_opt(state.opt_state_pts),
+        step=state.step,
+    )

@@ -1,0 +1,99 @@
+"""Synthetic NeRF-Synthetic-format scene fixture.
+
+Since no real dataset exists in this environment, tests build a miniature scene
+in the exact on-disk format the reference consumes (transforms_{split}.json +
+RGBA PNGs + colmap_results/dense/fused.ply): a colored plate at z=0 rendered
+analytically from cameras on a sphere. This exercises the full data path
+(json → poses → images → rays → gt) and gives E2E training a real target.
+"""
+
+import json
+import os
+
+import numpy as np
+
+
+def look_at_pose(campos, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
+    """OpenGL/blender-convention c2w (camera looks along -z)."""
+    campos = np.asarray(campos, np.float64)
+    fwd = campos - np.asarray(target, np.float64)  # +z away from target
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(np.asarray(up, np.float64), fwd)
+    if np.linalg.norm(right) < 1e-8:
+        right = np.array([1.0, 0.0, 0.0])
+    right /= np.linalg.norm(right)
+    newup = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = right, newup, fwd, campos
+    return pose
+
+
+def plate_color(x, y):
+    """Color of the plate at world (x, y): smooth RGB ramp."""
+    r = np.clip(x + 0.5, 0, 1)
+    g = np.clip(y + 0.5, 0, 1)
+    b = np.full_like(r, 0.5)
+    return np.stack([r, g, b], axis=-1)
+
+
+def render_plate_rgba(c2w_gl, focal, W, H, half=0.4):
+    """Analytic render of the |x|,|y|<=half plate at z=0 (RGBA, blender cam)."""
+    px, py = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    # blender camera: x right, y up, camera looks along -z. +0.5 pixel-center
+    # offset matches get_dtu_raydir so fixture images and framework rays agree.
+    dirs_cam = np.stack([(px + 0.5 - W / 2) / focal, -(py + 0.5 - H / 2) / focal,
+                         -np.ones_like(px)], axis=-1)
+    R, t = c2w_gl[:3, :3], c2w_gl[:3, 3]
+    dirs_w = dirs_cam @ R.T
+    denom = dirs_w[..., 2]
+    tt = np.where(np.abs(denom) > 1e-9, (0.0 - t[2]) / denom, -1.0)
+    hit = t[None, None, :] + tt[..., None] * dirs_w
+    inside = (tt > 0) & (np.abs(hit[..., 0]) <= half) & (np.abs(hit[..., 1]) <= half)
+    rgb = np.where(inside[..., None], plate_color(hit[..., 0], hit[..., 1]), 0.0)
+    a = inside.astype(np.float64)
+    return np.concatenate([rgb, a[..., None]], axis=-1)
+
+
+def make_nerf_synth_scene(root, scan="plate", n_train=12, n_test=4, wh=(40, 40),
+                          radius=3.0, camera_angle_x=0.6911112070083618):
+    """Write a tiny scene in NeRF-Synthetic layout; returns the scene dir."""
+    import imageio.v2 as imageio
+    from pointnerf_tpu.data.ply import write_ply_points
+
+    W, H = wh
+    scene = os.path.join(root, scan)
+    rng = np.random.RandomState(0)
+    focal_native = 0.5 * 800 / np.tan(0.5 * camera_angle_x)
+    focal = focal_native * W / 800.0
+
+    for split, n in (("train", n_train), ("test", n_test), ("val", 2)):
+        frames = []
+        os.makedirs(os.path.join(scene, split), exist_ok=True)
+        for i in range(n):
+            theta = 2 * np.pi * (i + (0.5 if split != "train" else 0)) / n
+            phi = np.deg2rad(35 + 20 * ((i % 3) - 1))
+            campos = radius * np.array([np.cos(theta) * np.cos(phi),
+                                        np.sin(theta) * np.cos(phi),
+                                        np.sin(phi)])
+            pose = look_at_pose(campos)
+            rgba = render_plate_rgba(pose, focal, W, H)
+            rel = f"./{split}/r_{i}"
+            imageio.imwrite(os.path.join(scene, f"{rel}.png"),
+                            (np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+            frames.append({"file_path": rel,
+                           "rotation": 0.0,
+                           "transform_matrix": pose.tolist()})
+        with open(os.path.join(scene, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+    # init point cloud: the plate, with noise — like a COLMAP fused.ply
+    g = np.linspace(-0.4, 0.4, 30)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xyz = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+    xyz = xyz + rng.normal(0, 0.003, xyz.shape)
+    rgb = plate_color(xyz[:, 0], xyz[:, 1])
+    os.makedirs(os.path.join(scene, "colmap_results/dense"), exist_ok=True)
+    write_ply_points(os.path.join(scene, "colmap_results/dense/fused.ply"),
+                     xyz.astype(np.float32), rgb)
+    return scene

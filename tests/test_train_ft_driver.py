@@ -1,0 +1,104 @@
+"""End-to-end driver test: full train_ft on the synthetic plate scene.
+
+Exercises the whole stack the way a user runs it: dataset from disk → COLMAP
+point init → voxel downsample → jitted train loop → prune → probe/grow →
+chunked test render → checkpoints → metrics. The reference has no such test;
+its acceptance test is per-scene PSNR (SURVEY.md §4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.run import train_ft
+from pointnerf_tpu.run.common import options_from_cli, construct_vox_points_closest
+
+from fixtures import make_nerf_synth_scene
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    make_nerf_synth_scene(root, wh=(40, 40))
+    return root
+
+
+def tiny_train_opt(root, out, **kw):
+    return Options(
+        experiment="plate_e2e", checkpoints_dir=out,
+        data_root=root, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(40, 40), random_sample="random", random_sample_size=12,
+        near_plane=2.0, far_plane=4.5, bg_color="white",
+        ranges=(-0.55, -0.55, -0.15, 0.55, 0.55, 0.15),
+        vsize=(0.04, 0.04, 0.04), vscale=(1, 1, 1),
+        kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        max_o=16384, P=8, K=4, SR=12, z_depth_dim=64,
+        radius_limit_scale=4.0, vox_res=64,
+        point_features_dim=16, feature_init_method="rand",
+        num_feat_freqs=2, dist_xyz_freq=3, num_viewdir_freqs=2, num_pos_freqs=4,
+        shading_feature_num=64,
+        shading_feature_mlp_layer1=1, shading_feature_mlp_layer3=1,
+        shading_alpha_mlp_layer=1, shading_color_mlp_layer=2,
+        agg_intrp_order=2, agg_distance_kernel="linear", agg_dist_pers=20,
+        point_conf_mode="1", point_color_mode="1", point_dir_mode="1",
+        which_tonemap_func="off", default_conf=0.4,
+        lr=0.002, plr=0.005,
+        color_loss_items=("ray_masked_coarse_raycolor",
+                          "ray_miss_coarse_raycolor", "coarse_raycolor"),
+        color_loss_weights=(1.0, 0.0, 0.0),
+        zero_one_loss_items=("conf_coefficient",),
+        zero_one_loss_weights=(0.0001,),
+        maximum_step=260,
+        prune_iter=100, prune_thresh=0.05, prune_max_iter=100000,
+        prob_freq=120, prob_num_step=4, prob_thresh=0.5, prob_mul=0.5,
+        prob_kernel_size=(3.0, 3.0, 3.0), prob_tiers=(100000,),
+        print_freq=50, save_iter_freq=130, save_point_freq=130,
+        test_freq=0, test_num=2,
+    ).replace(**kw)
+
+
+def test_train_ft_end_to_end(scene_root, tmp_path):
+    opt = tiny_train_opt(scene_root, str(tmp_path))
+    result = train_ft.main(opt)
+    assert result["total_steps"] == 260
+    # the plate scene must be learnable well past "everything is bg" quality
+    assert result["final_psnr"] > 16.0, result["final_psnr"]
+    # checkpoints + logs + metrics on disk
+    exp = os.path.join(str(tmp_path), "plate_e2e")
+    assert os.path.exists(os.path.join(exp, "log.txt"))
+    assert os.path.exists(os.path.join(exp, "260_net_ray_marching.npz"))
+    assert os.path.exists(os.path.join(exp, "opt.json"))
+    assert "psnr" in result["scores"] and result["scores"]["psnr"] > 16.0
+    # resume: second call loads the checkpoint and stops immediately
+    res2 = train_ft.main(opt)
+    assert res2["total_steps"] == 260
+
+
+def test_cli_options_roundtrip(scene_root, tmp_path):
+    opt = options_from_cli([
+        "--preset", "nerf_synth:lego",
+        "--data_root", scene_root,
+        "--random_sample_size", "12",
+        "--vsize", "0.01", "0.01", "0.01",
+        "--maximum_step", "5",
+    ])
+    assert opt.scan == "lego"
+    assert opt.random_sample_size == 12
+    assert opt.vsize == (0.01, 0.01, 0.01)
+    assert opt.maximum_step == 5
+    assert opt.data_root == scene_root
+
+
+def test_vox_downsample():
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-1, 1, (5000, 3))
+    kept, idx = construct_vox_points_closest(xyz, 8)
+    # boundary points land in bin vox_res, so up to (res+1)^3 voxels
+    assert 100 < len(kept) <= 9 ** 3
+    np.testing.assert_allclose(kept, xyz[idx])
+    # exactly one representative per occupied voxel (use the function's metric)
+    vsize = (xyz.max(0) - xyz.min(0)).max() / 8
+    kcoords = np.floor((xyz[idx] - xyz.min(0)) / vsize).astype(int)
+    assert len(np.unique(kcoords, axis=0)) == len(kept)
