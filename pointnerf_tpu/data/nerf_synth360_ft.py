@@ -165,6 +165,52 @@ class NerfSynth360FtDataset(BaseDataset):
                 self.alphas.append(a[..., 0])
 
     # ------------------------------------------------------------------ items
+    def get_init_item(self, idx: int) -> Dict:
+        """MVS init bundle for view triplet `idx` (reference: :479-553).
+
+        Arrays are un-batched: images/mvs_images [V,3,H,W], proj_mats
+        [V,V,3,4] (proj_mats[i][j] maps ref view i onto src view j at the
+        H/4 feature scale), intrinsics [V,3,3], w2cs/c2ws [V,4,4],
+        near_fars [V,2], near_fars_depth [2], depths_h/alphas [V,H,W].
+        """
+        view_ids = self.view_id_list[idx][: self.opt.init_view_num]
+        K4 = self.intrinsics[0].copy()
+        K4[:2] /= 4.0  # features are at H/4 (reference: :398-400)
+
+        affine, imgs, mvs, depths, alphas = [], [], [], [], []
+        intrinsics, w2cs, c2ws, near_fars = [], [], [], []
+        for vid in view_ids:
+            a = np.eye(4, dtype=np.float64)
+            a[:3, :4] = K4 @ self.world2cams[vid][:3, :4]
+            affine.append(a)
+            imgs.append(np.transpose(self.render_gtimgs[vid], (2, 0, 1)))
+            mvs.append(np.transpose(self.mvsimgs[vid], (2, 0, 1)))
+            depths.append(self.depths[vid])
+            alphas.append(self.alphas[vid])
+            intrinsics.append(self.intrinsics[vid])
+            w2cs.append(self.world2cams[vid])
+            c2ws.append(self.cam2worlds[vid])
+            near_fars.append(self.near_far)
+
+        V = len(view_ids)
+        proj_mats = np.stack([
+            np.stack([np.eye(4) if i == j else affine[j] @ np.linalg.inv(affine[i])
+                      for j in range(V)])[:, :3]
+            for i in range(V)])
+        return {
+            "images": np.stack(imgs).astype(np.float32),
+            "mvs_images": np.stack(mvs).astype(np.float32),
+            "depths_h": np.stack(depths).astype(np.float32),
+            "alphas": np.stack(alphas).astype(np.float32),
+            "w2cs": np.stack(w2cs).astype(np.float32),
+            "c2ws": np.stack(c2ws).astype(np.float32),
+            "near_fars_depth": np.asarray(near_fars[0], np.float32),
+            "near_fars": np.stack(near_fars).astype(np.float32),
+            "proj_mats": proj_mats.astype(np.float32),
+            "intrinsics": np.stack(intrinsics).astype(np.float32),
+            "view_ids": np.asarray(view_ids),
+        }
+
     def get_dummyrot_item(self, idx: int,
                           rng: Optional[np.random.RandomState] = None) -> Dict:
         """Render-path item without GT (reference: :662-743)."""

@@ -108,6 +108,51 @@ def construct_vox_points_closest(xyz: np.ndarray, vox_res: int,
     return xyz[keep].astype(np.float32), keep
 
 
+def gen_points_filter_embeddings(opt, dataset, key,
+                                 mvs_params: Optional[Dict] = None) -> Dict:
+    """BRANCH B of the reference driver (run/train_ft.py:51-167): per-triplet
+    MVS depth → fusion → per-point embeddings, then a visual-hull alpha mask
+    over all init views and a voxel downsample."""
+    from ..models.mvs import points_model as pm
+    from ..models.mvs.fusion import alpha_masking
+
+    if mvs_params is None:
+        key, sub = jax.random.split(key)
+        mvs_params = pm.init_mvs_points_params(sub, opt)
+
+    parts = {k: [] for k in ("xyz_w", "embedding", "color", "dir", "conf")}
+    alphas, intr, w2cs = [], [], []
+    for ti in range(len(dataset.view_id_list)):
+        sample = dataset.get_init_item(ti)
+        key, sub = jax.random.split(key)
+        out = pm.gen_points(mvs_params, opt, sample, sub)
+        keep = np.asarray(out["keep"]).astype(bool)
+        for k in parts:
+            parts[k].append(np.asarray(out[k])[keep])
+        alphas.append(sample["alphas"][0])
+        intr.append(sample["intrinsics"][0])
+        w2cs.append(sample["w2cs"][0])
+    merged = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+
+    # visual hull over the init views (reference: train_ft.py:130-134)
+    hull = np.asarray(alpha_masking(
+        jnp.asarray(merged["xyz_w"]), jnp.asarray(np.stack(alphas)),
+        jnp.asarray(np.stack(intr)), jnp.asarray(np.stack(w2cs)),
+        ranges=np.asarray(opt.ranges) if opt.ranges[0] > -99.0 else None))
+    merged = {k: v[hull] for k, v in merged.items()}
+
+    if opt.vox_res > 0:
+        _, idx = construct_vox_points_closest(merged["xyz_w"], opt.vox_res)
+        merged = {k: v[idx] for k, v in merged.items()}
+
+    if 0 < opt.default_conf <= 1.0:
+        # uniform starting confidence (reference: neural_points.py:281-283)
+        merged["conf"] = np.full_like(merged["conf"], opt.default_conf)
+    return npc.create_point_cloud(
+        merged["xyz_w"], merged["embedding"], merged["color"],
+        merged["dir"][:, :3], merged["conf"])
+
+
 def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     """BRANCH C of the reference driver (train_ft.py:636-732): load provided
     points, crop to ranges, voxel-downsample, init per-point attributes.

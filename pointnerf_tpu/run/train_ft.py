@@ -176,7 +176,13 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     test_ds = create_dataset(opt, split="test")
 
     # ---------------------------------------------------------------- init/resume
-    point_state = init_point_state_from_dataset(opt, train_ds, key)
+    if opt.load_points >= 1:
+        # BRANCH C: provided COLMAP/sensor points (reference: train_ft.py:649-673)
+        point_state = init_point_state_from_dataset(opt, train_ds, key)
+    else:
+        # BRANCH B: MVSNet depth init (reference: train_ft.py:51-167)
+        from .common import gen_points_filter_embeddings
+        point_state = gen_points_filter_embeddings(opt, train_ds, key)
     ts = trainer.create_train_state(opt, key, point_state)
     total_steps, best_psnr, best_iter = 0, 0.0, 0
     if latest_step(ckpt_dir) is not None:

@@ -1,0 +1,236 @@
+"""MVS pipeline tests: warping parity, depth→point geometry, fusion, E2E init."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.data import create_dataset
+from pointnerf_tpu.models.mvs import points_model as pm
+from pointnerf_tpu.models.mvs import fusion
+from pointnerf_tpu.models.mvs.mvsnet import (homo_warping, init_mvsnet,
+                                             mvsnet_forward)
+
+from fixtures import make_nerf_synth_scene
+
+RNG = np.random.RandomState(0)
+
+
+def torch_homo_warping(src_fea, proj, depth_values):
+    """Verbatim re-expression of reference module.py:36-71 semantics."""
+    batch, channels = src_fea.shape[0], src_fea.shape[1]
+    num_depth = depth_values.shape[1]
+    height, width = src_fea.shape[2], src_fea.shape[3]
+    rot = proj[:, :3, :3]
+    trans = proj[:, :3, 3:4]
+    y, x = torch.meshgrid(torch.arange(0, height, dtype=torch.float32),
+                          torch.arange(0, width, dtype=torch.float32),
+                          indexing="ij")
+    y, x = y.reshape(height * width), x.reshape(height * width)
+    xyz = torch.stack((x, y, torch.ones_like(x)))[None]
+    rot_xyz = torch.matmul(rot, xyz)
+    rot_depth_xyz = rot_xyz.unsqueeze(2).repeat(1, 1, num_depth, 1) * \
+        depth_values.view(batch, 1, num_depth, 1)
+    proj_xyz = rot_depth_xyz + trans.view(batch, 3, 1, 1)
+    proj_xy = proj_xyz[:, :2] / proj_xyz[:, 2:3]
+    gx = proj_xy[:, 0] / ((width - 1) / 2) - 1
+    gy = proj_xy[:, 1] / ((height - 1) / 2) - 1
+    grid = torch.stack((gx, gy), dim=3)
+    warped = F.grid_sample(src_fea, grid.view(batch, num_depth * height, width, 2),
+                           mode="bilinear", padding_mode="zeros",
+                           align_corners=False)
+    return warped.view(batch, channels, num_depth, height, width)
+
+
+def test_homo_warping_parity():
+    feat = RNG.randn(1, 4, 12, 10).astype(np.float32)
+    # a realistic relative projection: small rotation + translation
+    ang = 0.1
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    K = np.array([[20, 0, 5], [0, 20, 6], [0, 0, 1]], np.float32)
+    proj = np.eye(4, dtype=np.float32)
+    proj[:3, :3] = K @ R @ np.linalg.inv(K)
+    proj[:3, 3] = [0.5, -0.2, 0.05]
+    depths = np.linspace(2, 6, 8).astype(np.float32)
+
+    want = torch_homo_warping(torch.from_numpy(feat),
+                              torch.from_numpy(proj[None]),
+                              torch.from_numpy(depths[None])).numpy()
+    got = homo_warping(jnp.asarray(feat[0]), jnp.asarray(proj),
+                       jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(got), want[0], atol=2e-4)
+
+
+def test_depth2point_roundtrip():
+    """cam depth -> ndc -> cam xyz must invert the pinhole projection."""
+    K = np.array([[50.0, 0, 20], [0, 50.0, 15], [0, 0, 1]], np.float32)
+    near_far = (2.0, 6.0)
+    H, W = 31, 41
+    depth = RNG.uniform(2.5, 5.5, (H, W)).astype(np.float32)
+    ndc = (depth - near_far[0]) / (near_far[1] - near_far[0])
+    cam = np.asarray(pm.depth2point(jnp.asarray(ndc[None]), jnp.asarray(K),
+                                    near_far))[0]          # [H,W,3]
+    np.testing.assert_allclose(cam[..., 2], depth, rtol=1e-5)
+    # reproject: K @ cam should give pixel coords (arange, no half-pixel shift)
+    pix = cam @ K.T
+    pix = pix[..., :2] / pix[..., 2:3]
+    px, py = np.meshgrid(np.arange(W), np.arange(H))
+    np.testing.assert_allclose(pix[..., 0], px, atol=1e-3)
+    np.testing.assert_allclose(pix[..., 1], py, atol=1e-3)
+
+
+def test_geometric_consistency():
+    """Two views of the z=0 plane with exact analytic depth must be consistent;
+    corrupting one view's depth must break it."""
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    H = W = 32
+
+    def make_view(campos):
+        fwd = -campos / np.linalg.norm(campos)
+        up = np.array([0, 0, 1.0])
+        right = np.cross(fwd, up); right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R_c2w = np.stack([right, down, fwd], axis=1)
+        E = np.eye(4, dtype=np.float32)
+        E[:3, :3] = R_c2w.T
+        E[:3, 3] = -R_c2w.T @ campos
+        px, py = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        d_cam = np.stack([(px - K[0, 2]) / K[0, 0],
+                          (py - K[1, 2]) / K[1, 1], np.ones_like(px)], -1)
+        d_w = d_cam @ R_c2w.T
+        t = (0.0 - campos[2]) / d_w[..., 2]
+        depth = t.astype(np.float32)  # z-depth since d_cam z == 1
+        return E, depth
+
+    E1, d1 = make_view(np.array([0.3, 0.2, 3.0]))
+    E2, d2 = make_view(np.array([-0.2, 0.4, 2.8]))
+    mask, vis, _ = fusion.check_geometric_consistency(
+        jnp.asarray(d1), jnp.asarray(K), jnp.asarray(E1),
+        jnp.asarray(d2), jnp.asarray(K), jnp.asarray(E2))
+    m = np.asarray(mask)
+    # central region reprojects into view 2 and must be consistent
+    assert m[8:24, 8:24].mean() > 0.95, m.mean()
+    # corrupt src depth -> inconsistent
+    mask_bad, _, _ = fusion.check_geometric_consistency(
+        jnp.asarray(d1), jnp.asarray(K), jnp.asarray(E1),
+        jnp.asarray(d2 * 1.3), jnp.asarray(K), jnp.asarray(E2))
+    assert np.asarray(mask_bad)[8:24, 8:24].mean() < 0.05
+
+
+def test_mvsnet_forward_shapes():
+    key = jax.random.PRNGKey(0)
+    params = init_mvsnet(key)
+    # cost-volume dims (D, H/4, W/4) must be divisible by 8 for the 3-level
+    # U-Net skips — the same constraint the reference inherits from official
+    # MVSNet (800x800 -> 200x200 features, 200 = 8*25)
+    imgs = jnp.asarray(RNG.rand(3, 3, 32, 64).astype(np.float32))
+    proj = jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[None, :3], (3, 1, 1)))
+    dvals = jnp.linspace(2.0, 6.0, 16)
+    depth, conf, prob = mvsnet_forward(params, imgs, proj, dvals)
+    assert depth.shape == (8, 16)
+    assert conf.shape == (8, 16)
+    assert prob.shape == (16, 8, 16)
+    assert np.isfinite(np.asarray(depth)).all()
+    d = np.asarray(depth)
+    assert d.min() >= 2.0 - 1e-4 and d.max() <= 6.0 + 1e-4
+    c = np.asarray(conf)
+    assert c.min() >= 0 and c.max() <= 1 + 1e-5
+    p = np.asarray(prob)
+    np.testing.assert_allclose(p.sum(0), 1.0, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mvs_scene"))
+    make_nerf_synth_scene(root, wh=(40, 40))
+    return root
+
+
+def analytic_depth(ds, vid):
+    """Exact z=0-plane z-depth per pixel (0 where the ray misses the plate),
+    using the same pixel convention as depth2point (no half-pixel shift)."""
+    K = ds.intrinsics[vid]
+    c2w = ds.cam2worlds[vid]
+    W, H = ds.img_wh
+    px, py = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    d_cam = np.stack([(px - K[0, 2]) / K[0, 0],
+                      (py - K[1, 2]) / K[1, 1], np.ones_like(px)], -1)
+    d_w = d_cam @ c2w[:3, :3].T
+    campos = c2w[:3, 3]
+    t = (0.0 - campos[2]) / d_w[..., 2]
+    hit = campos + t[..., None] * d_w
+    inside = (t > 0) & (np.abs(hit[..., 0]) <= 0.4) & (np.abs(hit[..., 1]) <= 0.4)
+    return np.where(inside, t, 0.0).astype(np.float32)
+
+
+def test_gen_points_mode0_lands_on_plate(scene):
+    """GT-depth mode: generated world points must lie on the z=0 plate."""
+    opt = Options(
+        data_root=scene, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(40, 40), near_plane=2.0, far_plane=4.5, bg_color="white",
+        manual_depth_view=0, init_view_num=3, depth_vid="0",
+        manual_std_depth=0.0, num_each_depth=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        depth_conf_thresh=0.5, geo_cnsst_num=0, full_comb=1,
+    )
+    ds = create_dataset(opt, split="train")
+    sample = ds.get_init_item(0)
+    vids = sample["view_ids"]
+    # swap in analytic depth for the reference view
+    depths = np.stack([analytic_depth(ds, ds.id_list.index(v)) for v in vids])
+    sample = dict(sample, depths_h=depths)
+
+    params = pm.init_mvs_points_params(jax.random.PRNGKey(0), opt)
+    out = pm.gen_points(params, opt, sample, jax.random.PRNGKey(1))
+    keep = np.asarray(out["keep"]).astype(bool)
+    xyz = np.asarray(out["xyz_w"])[keep]
+    # exactly the pixels whose rays hit the plate survive the near/far mask
+    assert len(xyz) == int((depths[0] > 0).sum())
+    assert len(xyz) > 50
+    # points lie on the plate plane, within its extent
+    assert np.abs(xyz[:, 2]).max() < 1e-2, np.abs(xyz[:, 2]).max()
+    assert np.abs(xyz[:, :2]).max() < 0.45
+    emb = np.asarray(out["embedding"])[keep]
+    assert emb.shape[1] == opt.point_features_dim
+    assert np.isfinite(emb).all()
+    assert np.asarray(out["dir"])[keep].shape[1] == 3
+    assert np.asarray(out["color"])[keep].shape[1] == 3
+
+
+def test_gen_points_filter_embeddings_e2e(tmp_path_factory):
+    """Full BRANCH B with MVSNet (random weights, mode 1): shapes + hull mask
+    keep points inside the scene ranges. Image dims are multiples of 32 —
+    the official-MVSNet U-Net constraint."""
+    from pointnerf_tpu.run.common import gen_points_filter_embeddings
+    root = str(tmp_path_factory.mktemp("mvs64"))
+    make_nerf_synth_scene(root, wh=(64, 64), n_train=8, n_test=2)
+    opt = Options(
+        data_root=root, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(64, 64), near_plane=2.0, far_plane=4.5, bg_color="white",
+        manual_depth_view=1, init_view_num=3, depth_vid="0", depth_grid=24,
+        manual_std_depth=0.0, num_each_depth=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        depth_conf_thresh=0.1, geo_cnsst_num=0, full_comb=0,
+        ranges=(-0.55, -0.55, -0.2, 0.55, 0.55, 0.2), vox_res=40,
+        default_conf=0.4,
+    )
+    ds = create_dataset(opt, split="train")
+    # limit to 2 triplets for speed
+    ds.view_id_list = ds.view_id_list[:2]
+    state = gen_points_filter_embeddings(opt, ds, jax.random.PRNGKey(0))
+    n = int(np.asarray(state["mask"]).sum())
+    xyz = np.asarray(state["xyz"])[np.asarray(state["mask"])]
+    if n > 0:  # random-weight MVSNet depth may be rejected wholesale
+        assert np.all(xyz >= np.asarray(opt.ranges[:3]) - 1e-5)
+        assert np.all(xyz <= np.asarray(opt.ranges[3:]) + 1e-5)
+        assert np.isfinite(np.asarray(state["embedding"])[:n]).all()
+        np.testing.assert_allclose(
+            np.asarray(state["conf"])[np.asarray(state["mask"])], 0.4)

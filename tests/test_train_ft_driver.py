@@ -27,7 +27,7 @@ def scene_root(tmp_path_factory):
 
 def tiny_train_opt(root, out, **kw):
     return Options(
-        experiment="plate_e2e", checkpoints_dir=out,
+        experiment="plate_e2e", checkpoints_dir=out, load_points=1,
         data_root=root, scan="plate", dataset_name="nerf_synth360_ft",
         img_wh=(40, 40), random_sample="random", random_sample_size=12,
         near_plane=2.0, far_plane=4.5, bg_color="white",
