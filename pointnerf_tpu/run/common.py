@@ -160,10 +160,24 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     Without the MVS embedding network (build phase 6) features follow
     opt.feature_init_method; colors come from the ply when present.
     """
-    from ..data.ply import read_ply_points
-    import os
-    path = os.path.join(opt.data_root, opt.scan, "colmap_results/dense/fused.ply")
-    xyz, rgb = read_ply_points(path)
+    # loader choice mirrors reference load_points ∈ {1: provided cloud,
+    # 2: sensor-depth backprojection, 3: both} (train_ft.py:649-673)
+    rgb = None
+    if opt.load_points == 2 and hasattr(dataset, "load_init_depth_points"):
+        xyz = np.asarray(dataset.load_init_depth_points())
+    elif opt.load_points == 3 and hasattr(dataset, "load_init_depth_points"):
+        xyz = np.concatenate([np.asarray(dataset.load_init_points()),
+                              np.asarray(dataset.load_init_depth_points())], 0)
+    else:
+        xyz = np.asarray(dataset.load_init_points())
+        import os
+        from ..data.ply import read_ply_points
+        path = os.path.join(opt.data_root, opt.scan,
+                            "colmap_results/dense/fused.ply")
+        if os.path.exists(path):
+            _, rgb = read_ply_points(path)
+            if rgb is not None and len(rgb) != len(xyz):
+                rgb = None
 
     ranges = np.asarray(opt.ranges, np.float32)
     if ranges[0] > -99.0:

@@ -97,3 +97,111 @@ def make_nerf_synth_scene(root, scan="plate", n_train=12, n_test=4, wh=(40, 40),
     write_ply_points(os.path.join(scene, "colmap_results/dense/fused.ply"),
                      xyz.astype(np.float32), rgb)
     return scene
+
+
+def make_tt_scene(root, scan="Truck", n_train=6, n_test=2, wh=(40, 40),
+                  radius=3.0):
+    """NSVF/Tanks&Temples layout: rgb/{0_,1_}*.png + pose/*.txt +
+    intrinsics.txt + bbox.txt."""
+    import imageio.v2 as imageio
+    scene = os.path.join(root, scan)
+    os.makedirs(os.path.join(scene, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "pose"), exist_ok=True)
+    W, H = wh
+    focal = 40.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+    np.savetxt(os.path.join(scene, "intrinsics.txt"), np.eye(4) * 0 + np.pad(
+        K, ((0, 1), (0, 1))) + np.diag([0, 0, 0, 1.0]))
+    np.savetxt(os.path.join(scene, "bbox.txt"),
+               np.array([-0.5, -0.5, -0.2, 0.5, 0.5, 0.2, 0.01]))
+    for prefix, n in (("0", n_train), ("1", n_test)):
+        for i in range(n):
+            theta = 2 * np.pi * (i + (0.3 if prefix == "1" else 0)) / n
+            phi = np.deg2rad(30)
+            campos = radius * np.array([np.cos(theta) * np.cos(phi),
+                                        np.sin(theta) * np.cos(phi),
+                                        np.sin(phi)])
+            pose_gl = look_at_pose(campos)
+            # NSVF poses are OpenCV-convention c2w
+            c2w_cv = pose_gl @ np.array([[1, 0, 0, 0], [0, -1, 0, 0],
+                                         [0, 0, -1, 0], [0, 0, 0, 1.0]])
+            rgba = render_plate_rgba(pose_gl, focal, W, H)
+            name = f"{prefix}_{i:04d}"
+            imageio.imwrite(os.path.join(scene, "rgb", name + ".png"),
+                            (np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+            np.savetxt(os.path.join(scene, "pose", name + ".txt"), c2w_cv)
+    return scene
+
+
+def make_scannet_scene(root, scan="scene0101_04", n=10, wh=(40, 30)):
+    """ScanNet exported/ layout with color jpgs, poses, intrinsics, depth."""
+    import imageio.v2 as imageio
+    scene = os.path.join(root, scan)
+    exported = os.path.join(scene, "exported")
+    for sub in ("color", "pose", "intrinsic", "depth"):
+        os.makedirs(os.path.join(exported, sub), exist_ok=True)
+    W, H = wh
+    focal = 35.0
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    np.savetxt(os.path.join(exported, "intrinsic", "intrinsic_color.txt"), K)
+    np.savetxt(os.path.join(exported, "intrinsic", "intrinsic_depth.txt"), K)
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        campos = 2.5 * np.array([np.cos(theta) * 0.9, np.sin(theta) * 0.9, 0.5])
+        pose_gl = look_at_pose(campos)
+        c2w_cv = pose_gl @ np.array([[1, 0, 0, 0], [0, -1, 0, 0],
+                                     [0, 0, -1, 0], [0, 0, 0, 1.0]])
+        rgba = render_plate_rgba(pose_gl, focal, W, H)
+        rgb = rgba[..., :3] * rgba[..., 3:] + 0.3 * (1 - rgba[..., 3:])
+        imageio.imwrite(os.path.join(exported, "color", f"{i}.jpg"),
+                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        np.savetxt(os.path.join(exported, "pose", f"{i}.txt"), c2w_cv)
+        # analytic z-depth of the plate in mm (0 off-plate)
+        px, py = np.meshgrid(np.arange(W, dtype=np.float64),
+                             np.arange(H, dtype=np.float64))
+        d_cam = np.stack([(px - W / 2) / focal, (py - H / 2) / focal,
+                          np.ones_like(px)], -1)
+        d_w = d_cam @ c2w_cv[:3, :3].T
+        t = (0.0 - campos[2]) / d_w[..., 2]
+        hit = campos + t[..., None] * d_w
+        inside = (t > 0.3) & (np.abs(hit[..., 0]) <= 0.4) & \
+            (np.abs(hit[..., 1]) <= 0.4)
+        depth_mm = np.where(inside, t * 1000.0, 0.0).astype(np.uint16)
+        imageio.imwrite(os.path.join(exported, "depth", f"{i}.png"), depth_mm)
+    from pointnerf_tpu.data.ply import write_ply_points
+    g = np.linspace(-0.4, 0.4, 20)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xyz = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3)
+    write_ply_points(os.path.join(exported, "pcd.ply"), xyz.astype(np.float32))
+    return scene
+
+
+def make_llff_scene(root, scan="fern", n=9, wh=(40, 30)):
+    """LLFF layout: poses_bounds.npy + images_4/."""
+    import imageio.v2 as imageio
+    scene = os.path.join(root, scan)
+    os.makedirs(os.path.join(scene, "images_4"), exist_ok=True)
+    W, H = wh
+    focal = 45.0
+    rows = []
+    for i in range(n):
+        # forward-facing: cameras on a small xy grid at z=2.5 looking at -z...
+        # plate at z=0, cameras above it
+        off = np.array([0.3 * ((i % 3) - 1), 0.3 * ((i // 3) - 1), 2.5])
+        pose_gl = look_at_pose(off, target=(off[0] * 0.5, off[1] * 0.5, 0.0))
+        rgba = render_plate_rgba(pose_gl, focal, W, H)
+        rgb = rgba[..., :3] * rgba[..., 3:] + 1.0 * (1 - rgba[..., 3:])
+        imageio.imwrite(os.path.join(scene, "images_4", f"image{i:03d}.png"),
+                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        # LLFF pose rows: [down, right, backwards] columns convention
+        # inverse of the loader's correction: poses_llff = [-y, x, z, t]
+        R, t = pose_gl[:3, :3], pose_gl[:3, 3]
+        m = np.concatenate([-R[:, 1:2], R[:, 0:1], R[:, 2:3], t[:, None]],
+                           axis=1)
+        hwf = np.array([[H], [W], [focal]])
+        rows.append(np.concatenate([np.concatenate([m, hwf], 1).reshape(-1),
+                                    [1.5, 4.0]]))
+    np.save(os.path.join(scene, "poses_bounds.npy"), np.stack(rows))
+    return scene

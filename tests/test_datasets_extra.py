@@ -1,0 +1,138 @@
+"""Tests for the T&T, ScanNet, and LLFF datasets on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.data import create_dataset
+
+from fixtures import make_tt_scene, make_scannet_scene, make_llff_scene
+
+
+def check_center_ray_hits_plate(item, tol=0.2):
+    """The central pixel's ray must hit near the plate center (all fixtures
+    aim their cameras at/near the origin plate)."""
+    campos = item["campos"][0]
+    R = item["raydir"].shape[1]
+    side = int(np.sqrt(R))
+    center = item["raydir"][0].reshape(-1, 3)[R // 2 + side // 2]
+    center = center / np.linalg.norm(center)
+    t = (0.0 - campos[2]) / center[2]
+    hit = campos + t * center
+    assert t > 0
+    assert np.abs(hit[:2]).max() < tol + np.abs(campos[:2]).max() * 0.5, hit
+
+
+# --------------------------------------------------------------------- T&T
+def test_tt_dataset(tmp_path):
+    make_tt_scene(str(tmp_path), wh=(40, 40))
+    opt = Options(data_root=str(tmp_path), scan="Truck", dataset_name="tt_ft",
+                  img_wh=(40, 40), random_sample="random", random_sample_size=6,
+                  near_plane=1.5, far_plane=5.0, bg_color="white",
+                  ranges=(-100.0,) * 3 + (100.0,) * 3)
+    ds = create_dataset(opt, split="train")
+    assert len(ds) == 6
+    # bbox.txt parsed
+    np.testing.assert_allclose(ds.spacemin, [-0.5, -0.5, -0.2])
+    np.testing.assert_allclose(ds.spacemax, [0.5, 0.5, 0.2])
+    item = ds.get_item(0, full_img=True)
+    assert item["gt_image"].shape == (1, 1600, 3)
+    check_center_ray_hits_plate(item)
+    # white bg from RGBA composite
+    gt = item["gt_image"][0].reshape(40, 40, 3)
+    assert np.allclose(gt[0, 0], 1.0)
+
+    ds_test = create_dataset(opt, split="test")
+    assert len(ds_test) == 2
+
+    ds_r = create_dataset(opt, split="render")
+    assert len(ds_r) == 100
+    item_r = ds_r.get_dummyrot_item(0)
+    assert "gt_image" not in item_r
+
+
+# ------------------------------------------------------------------ ScanNet
+def test_scannet_dataset(tmp_path):
+    make_scannet_scene(str(tmp_path), n=10, wh=(40, 30))
+    opt = Options(data_root=str(tmp_path), scan="scene0101_04",
+                  dataset_name="scannet_ft", img_wh=(40, 30),
+                  random_sample="random", random_sample_size=6,
+                  near_plane=0.1, far_plane=8.0, bg_color="black",
+                  ranges=(-100.0,) * 3 + (100.0,) * 3, test_num_step=5)
+    ds = create_dataset(opt, split="train")
+    assert len(ds) == 2  # step-5 nsvf split of 10 frames
+    ds_test = create_dataset(opt, split="test")
+    assert len(ds_test) == 8
+    item = ds.get_item(0, full_img=True)
+    assert item["gt_image"].shape == (1, 40 * 30, 3)
+    check_center_ray_hits_plate(item)
+
+    # mesh init points
+    xyz = ds.load_init_points()
+    assert xyz.shape == (400, 3)
+
+    # sensor-depth backprojection lands on the plate
+    pts = ds.load_init_depth_points()
+    assert len(pts) > 500
+    assert np.abs(pts[:, 2]).max() < 5e-3, np.abs(pts[:, 2]).max()
+    assert np.abs(pts[:, :2]).max() <= 0.45
+
+    # blur list removal
+    with open(os.path.join(ds.exported, "blur_list.txt"), "w") as f:
+        f.write("0\n")
+    ds2 = create_dataset(opt, split="train")
+    assert len(ds2) == 1
+
+    # blur scoring runs
+    blurry = ds.detect_blurry(ds.all_id_list, worst=3)
+    assert len(blurry) == 3
+
+
+# --------------------------------------------------------------------- LLFF
+def test_llff_dataset(tmp_path):
+    make_llff_scene(str(tmp_path), n=9, wh=(40, 30))
+    opt = Options(data_root=str(tmp_path), scan="fern", dataset_name="llff_ft",
+                  img_wh=(40, 30), random_sample="random", random_sample_size=6,
+                  bg_color="white", testskip=4)
+    ds = create_dataset(opt, split="train")
+    ds_test = create_dataset(opt, split="test")
+    assert len(ds) + len(ds_test) == 9
+    assert len(ds_test) == 3
+    # near_far derived from scaled bounds
+    assert 0 < ds.near_far[0] < ds.near_far[1]
+    item = ds.get_item(0, full_img=True)
+    assert item["gt_image"].shape == (1, 40 * 30, 3)
+    assert np.isfinite(item["raydir"]).all()
+    # poses centered: camera centers average near origin
+    centers = ds.all_c2ws[:, :3, 3]
+    assert np.linalg.norm(centers.mean(0)) < 0.5
+
+
+def test_train_ft_on_scannet_depth_init(tmp_path):
+    """Cross-dataset E2E: the finetune driver runs on ScanNet with
+    load_points=2 (sensor-depth backprojection init)."""
+    from pointnerf_tpu.run import train_ft
+    make_scannet_scene(str(tmp_path), n=10, wh=(40, 30))
+    opt = Options(
+        experiment="scannet_e2e", checkpoints_dir=str(tmp_path / "ckpt"),
+        data_root=str(tmp_path), scan="scene0101_04",
+        dataset_name="scannet_ft", img_wh=(40, 30), load_points=2,
+        random_sample="random", random_sample_size=10,
+        near_plane=0.1, far_plane=8.0, bg_color="black", test_num_step=5,
+        ranges=(-0.55, -0.55, -0.2, 0.55, 0.55, 0.2),
+        vsize=(0.04, 0.04, 0.04), vscale=(1, 1, 1),
+        kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        max_o=16384, P=8, K=4, SR=12, z_depth_dim=64, vox_res=50,
+        point_features_dim=16, shading_feature_num=32,
+        shading_feature_mlp_layer1=1, shading_feature_mlp_layer3=1,
+        shading_alpha_mlp_layer=1, shading_color_mlp_layer=2,
+        num_feat_freqs=2, dist_xyz_freq=3, num_viewdir_freqs=2,
+        default_conf=0.4, lr=0.002, plr=0.005,
+        maximum_step=30, print_freq=15, save_iter_freq=30, test_freq=0,
+        test_num=1, prune_iter=0, prob_freq=0, save_point_freq=0,
+    )
+    res = train_ft.main(opt)
+    assert res["total_steps"] == 30
+    assert np.isfinite(res["final_psnr"]) and res["final_psnr"] > 8.0
