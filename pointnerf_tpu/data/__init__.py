@@ -25,7 +25,8 @@ def register_dataset(name: str):
 def find_dataset_class_by_name(name: str) -> type:
     # import side-effect registration
     import importlib
-    for mod in ("nerf_synth360_ft", "tt_ft", "scannet_ft", "llff_ft", "dtu_ft"):
+    for mod in ("nerf_synth360_ft", "tt_ft", "scannet_ft", "llff_ft", "dtu",
+                "dtu_ft"):
         try:
             importlib.import_module(f".{mod}", __package__)
         except ImportError:

@@ -1,0 +1,207 @@
+"""Generalizable (feed-forward) training driver.
+
+Reference: run/train.py + MvsPointsVolumetricModel feedforward mode
+(models/mvs_points_volumetric_model.py:121-132): every step runs
+MVS depth → points → embeddings → render on a fresh view bundle; the render
+MLPs and the MVS feature nets train jointly (alternating by `alter_step`),
+points carry no optimizer state (opt.feedforward=1).
+
+TPU design: the whole step — MVSNet inference, FPN features, point
+generation, grid build, render, loss, both Adam updates — is ONE jitted
+function with static shapes (points = V·H·W slots with a validity mask; the
+reference instead materializes dynamic point counts per step).
+
+Usage: python -m pointnerf_tpu.run.train --dataset_name dtu --data_root <dir> ...
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Options
+from ..data import create_dataset
+from ..models import neural_points as npc
+from ..models.aggregator import init_aggregator_params
+from ..models.losses import compute_losses, mse2psnr
+from ..models.mvs import points_model as pm
+from ..models.networks import make_lr_schedule
+from ..models.renderer import render_forward
+from ..ops.grid import GridSpec, build_grid, make_grid_spec
+from ..train.trainer import COMPUTE_DTYPES
+from ..utils.checkpoint import save_pytree_npz, load_pytree_npz
+from ..utils.visualizer import Visualizer
+from .common import options_from_cli
+
+
+class GenTrainState(NamedTuple):
+    agg_params: Dict
+    mvs_train: Dict            # trainable: FPN featurenet (+ premlp)
+    mvs_frozen: Dict           # frozen: pretrained MVSNet depth estimator
+    opt_state_net: optax.OptState
+    opt_state_mvs: optax.OptState
+    step: jnp.ndarray
+
+
+def split_mvs_params(params: Dict) -> Tuple[Dict, Dict]:
+    """MVSNet depth net is frozen (reference loads it pretrained and runs it
+    under no_grad, mvs_points_model.py:314); FPN + premlp train."""
+    train = {k: v for k, v in params.items() if k != "mvsnet"}
+    frozen = {"mvsnet": params["mvsnet"]}
+    return train, frozen
+
+
+def make_optimizers(opt):
+    net_tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.lr)(s)))
+    mvs_tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.lr)(s)))
+    return net_tx, mvs_tx
+
+
+def create_gen_state(opt, key) -> GenTrainState:
+    k1, k2 = jax.random.split(key)
+    agg = init_aggregator_params(k1, opt)
+    mvs = pm.init_mvs_points_params(k2, opt)
+    mvs_train, mvs_frozen = split_mvs_params(mvs)
+    net_tx, mvs_tx = make_optimizers(opt)
+    return GenTrainState(
+        agg_params=agg, mvs_train=mvs_train, mvs_frozen=mvs_frozen,
+        opt_state_net=net_tx.init(agg), opt_state_mvs=mvs_tx.init(mvs_train),
+        step=jnp.asarray(0, jnp.int32))
+
+
+def feedforward_point_state(mvs_params: Dict, opt, sample: Dict, key) -> Dict:
+    """gen_points → masked point-state dict (no padding reorder — jit-safe).
+
+    Equivalent of NeuralPoints.set_points(parameter=False)
+    (reference: mvs_points_volumetric_model.py:121-127).
+    """
+    out = pm.gen_points(mvs_params, opt, sample, key, training=True)
+    keep = out["keep"]
+    xyz = jnp.where(keep[:, None], out["xyz_w"], npc.SENTINEL)
+    return {
+        "xyz": xyz,
+        "embedding": out["embedding"],
+        "color": out["color"],
+        "dir": out["dir"][:, :3],
+        "conf": out["conf"],
+        "mask": keep,
+        "Rw2c": jnp.eye(3, dtype=jnp.float32),
+    }
+
+
+def gen_train_step_impl(state: GenTrainState, sample: Dict, batch: Dict,
+                        key: jax.Array, opt, spec: GridSpec
+                        ) -> Tuple[GenTrainState, Dict]:
+    net_tx, mvs_tx = make_optimizers(opt)
+    k_pts, k_render = jax.random.split(key)
+
+    def loss_fn(agg_params, mvs_train):
+        mvs_params = dict(mvs_train, **state.mvs_frozen)
+        point_state = feedforward_point_state(mvs_params, opt, sample, k_pts)
+        grid = build_grid(point_state["xyz"], point_state["mask"], spec)
+        output = render_forward(agg_params, point_state, grid, spec, opt,
+                                batch, k_render, is_train=True,
+                                compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+        total, items = compute_losses(opt, output, batch["gt_image"])
+        return total, items
+
+    (_, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                           has_aux=True)(
+        state.agg_params, state.mvs_train)
+    g_net, g_mvs = grads
+
+    if opt.alter_step > 0:
+        # alternate render-net and mvs-net updates (reference: run/train.py:109-113)
+        phase = (state.step // opt.alter_step) % 2
+        g_net = jax.tree.map(lambda g: g * (phase == 0), g_net)
+        g_mvs = jax.tree.map(lambda g: g * (phase == 1), g_mvs)
+
+    upd_net, os_net = net_tx.update(g_net, state.opt_state_net, state.agg_params)
+    upd_mvs, os_mvs = mvs_tx.update(g_mvs, state.opt_state_mvs, state.mvs_train)
+    return GenTrainState(
+        agg_params=optax.apply_updates(state.agg_params, upd_net),
+        mvs_train=optax.apply_updates(state.mvs_train, upd_mvs),
+        mvs_frozen=state.mvs_frozen,
+        opt_state_net=os_net, opt_state_mvs=os_mvs,
+        step=state.step + 1), items
+
+
+gen_train_step = jax.jit(gen_train_step_impl, static_argnames=("opt", "spec"))
+
+
+def gen_eval_impl(state: GenTrainState, sample: Dict, batch: Dict,
+                  key: jax.Array, opt, spec: GridSpec) -> Dict:
+    mvs_params = dict(state.mvs_train, **state.mvs_frozen)
+    point_state = feedforward_point_state(mvs_params, opt, sample, key)
+    grid = build_grid(point_state["xyz"], point_state["mask"], spec)
+    return render_forward(state.agg_params, point_state, grid, spec, opt,
+                          batch, key=None, is_train=False,
+                          compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+
+
+gen_eval_step = jax.jit(gen_eval_impl, static_argnames=("opt", "spec"))
+
+
+def sample_to_device(sample: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in sample.items()
+            if k not in ("scan", "view_ids")}
+
+
+def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
+    key = jax.random.PRNGKey(opt.seed)
+    rng = np.random.RandomState(opt.seed)
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    visualizer = Visualizer(opt)
+
+    train_ds = create_dataset(opt, split="train")
+    # grid geometry is fixed by opt.ranges; capacity defaults to the per-step
+    # point count (one point per depth-view pixel)
+    n_pts = len(str(opt.depth_vid)) * opt.num_each_depth \
+        * opt.img_wh[0] * opt.img_wh[1]
+    spec = make_grid_spec(opt, max_points=n_pts)
+
+    key, sub = jax.random.split(key)
+    state = create_gen_state(opt, sub)
+    total_steps = 0
+    stop_at = min(opt.maximum_step, max_steps or opt.maximum_step)
+    t0 = time.time()
+    while total_steps < stop_at:
+        idx = int(rng.randint(len(train_ds)))
+        item = train_ds.get_item(idx, rng=rng)
+        sample = sample_to_device(item.pop("mvs_sample"))
+        batch = {k: jnp.asarray(v) for k, v in item.items()
+                 if k in ("raydir", "campos", "camrotc2w", "near", "far",
+                          "bg_color", "gt_image")}
+        key, sub = jax.random.split(key)
+        state, items = gen_train_step(state, sample, batch, sub, opt, spec)
+        total_steps += 1
+        visualizer.accumulate_losses({k: float(v) for k, v in items.items()})
+        if total_steps % opt.print_freq == 0:
+            visualizer.print_losses(total_steps)
+        if total_steps % opt.save_iter_freq == 0 or total_steps == stop_at:
+            save_pytree_npz(os.path.join(ckpt_dir, f"{total_steps}_gen.npz"),
+                            state)
+
+    loss = float(items["loss_total"]) if "loss_total" in items else \
+        float(list(items.values())[0])
+    visualizer.print_details(
+        f"generalizable training done: {total_steps} steps in "
+        f"{time.time() - t0:.1f}s")
+    return {"total_steps": total_steps, "state": state, "spec": spec,
+            "last_items": {k: float(v) for k, v in items.items()}}
+
+
+if __name__ == "__main__":
+    main(options_from_cli())

@@ -205,3 +205,87 @@ def make_llff_scene(root, scan="fern", n=9, wh=(40, 30)):
                                     [1.5, 4.0]]))
     np.save(os.path.join(scene, "poses_bounds.npy"), np.stack(rows))
     return scene
+
+
+def make_dtu_scene(root, scan="scan1", n_views=6, wh=(64, 64), radius=3.0):
+    """DTU/MVSNet layout: Cameras/train/*_cam.txt (intrinsics at 1/4 scale,
+    translations and depths in 200x world units), Rectified pngs per light,
+    Depths_raw pfm, dtu_configs lists + pairs."""
+    import imageio.v2 as imageio
+    from pointnerf_tpu.data.pfm import write_pfm
+
+    W, H = wh
+    focal = 60.0
+    scale = 200.0
+    os.makedirs(os.path.join(root, "Cameras/train"), exist_ok=True)
+    os.makedirs(os.path.join(root, f"Rectified/{scan}_train"), exist_ok=True)
+    os.makedirs(os.path.join(root, f"Depths_raw/{scan}"), exist_ok=True)
+    os.makedirs(os.path.join(root, "dtu_configs/lists"), exist_ok=True)
+
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1.0]])
+    for vid in range(n_views):
+        theta = 2 * np.pi * vid / n_views
+        phi = np.deg2rad(40)
+        campos = radius * np.array([np.cos(theta) * np.cos(phi),
+                                    np.sin(theta) * np.cos(phi), np.sin(phi)])
+        pose_gl = look_at_pose(campos)
+        c2w_cv = pose_gl @ np.array([[1, 0, 0, 0], [0, -1, 0, 0],
+                                     [0, 0, -1, 0], [0, 0, 0, 1.0]])
+        w2c = np.linalg.inv(c2w_cv)
+        w2c_dtu = w2c.copy()
+        w2c_dtu[:3, 3] *= scale
+        depth_min_w, depth_max_w = 2.0, 4.5
+        dmin_dtu = depth_min_w * scale
+        dint = (depth_max_w - depth_min_w) * scale / (192 * 1.06)
+        with open(os.path.join(root, f"Cameras/train/{vid:08d}_cam.txt"),
+                  "w") as f:
+            f.write("extrinsic\n")
+            for r in w2c_dtu:
+                f.write(" ".join(f"{x:.9f}" for x in r) + "\n")
+            f.write("\nintrinsic\n")
+            K4 = K.copy()
+            K4[:2] /= 4.0  # DTU cam files store fx,fy,cx,cy at 1/4 scale
+            for r in K4:
+                f.write(" ".join(f"{x:.9f}" for x in r) + "\n")
+            f.write(f"\n{dmin_dtu:.6f} {dint:.6f}\n")
+
+        rgba = render_plate_rgba(pose_gl, focal, W, H)
+        rgb = rgba[..., :3] * rgba[..., 3:] + 1.0 * (1 - rgba[..., 3:])
+        img8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        for light in range(7):
+            imageio.imwrite(os.path.join(
+                root, f"Rectified/{scan}_train/"
+                f"rect_{vid + 1:03d}_{light}_r5000.png"), img8)
+
+        # analytic plate depth in DTU units at the raw pfm geometry: the loader
+        # halves, crops [44:556, 80:720], and resizes — emit a pfm that lands
+        # back on our analytic depth after that chain: 1600x1200 raw
+        rawW, rawH = 1600, 1200
+        px, py = np.meshgrid(np.arange(rawW, dtype=np.float64),
+                             np.arange(rawH, dtype=np.float64))
+        # map raw pixel -> final pixel -> our K
+        fx = (px / 2 - 80) / 640 * W
+        fy = (py / 2 - 44) / 512 * H
+        d_cam = np.stack([(fx - W / 2) / focal, (fy - H / 2) / focal,
+                          np.ones_like(fx)], -1)
+        d_w = d_cam @ c2w_cv[:3, :3].T
+        t = (0.0 - campos[2]) / d_w[..., 2]
+        hit = campos + t[..., None] * d_w
+        inside = (t > 0) & (np.abs(hit[..., 0]) <= 0.4) & \
+            (np.abs(hit[..., 1]) <= 0.4)
+        depth = np.where(inside, t * scale, 0.0).astype(np.float32)
+        write_pfm(os.path.join(root, f"Depths_raw/{scan}/"
+                               f"depth_map_{vid:04d}.pfm"), depth)
+
+    for split in ("train", "test", "val"):
+        with open(os.path.join(root, "dtu_configs/lists",
+                               f"dtu_{split}_all.txt"), "w") as f:
+            f.write(scan + "\n")
+    with open(os.path.join(root, "dtu_configs/dtu_pairs.txt"), "w") as f:
+        f.write(f"{n_views}\n")
+        for ref in range(n_views):
+            srcs = [v for v in range(n_views) if v != ref][:5]
+            f.write(f"{ref}\n")
+            f.write(f"{len(srcs)} " +
+                    " ".join(f"{v} 1.0" for v in srcs) + "\n")
+    return root
