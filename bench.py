@@ -73,19 +73,27 @@ def main():
     }
 
     key = jax.random.PRNGKey(1)
-    # warmup / compile
-    ts, items = trainer.train_step(ts, grid, batch, key, opt, spec)
-    jax.block_until_ready(items)
+    # production path: steps_per_dispatch scan steps per device dispatch
+    # (per-step randomness folds in from state.step inside the jit)
+    S = opt.steps_per_dispatch
+    batches = {k: (jnp.stack([v] * S) if hasattr(v, "ndim") else
+                   jnp.full((S,), v, jnp.float32))
+               for k, v in batch.items()}
+    # warmup: compile AND materialize a scalar on the host. block_until_ready
+    # alone does NOT guarantee completion through a remote-tunneled runtime;
+    # only a host fetch of a value depending on the full chain does.
+    ts, items = trainer.train_steps_scan(ts, grid, batches, key, opt, spec)
+    float(items["loss_total"][-1])
 
-    iters = 30
+    dispatches = 8
     t0 = time.perf_counter()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        ts, items = trainer.train_step(ts, grid, batch, sub, opt, spec)
-    jax.block_until_ready(items)
+    for i in range(dispatches):
+        ts, items = trainer.train_steps_scan(ts, grid, batches, key, opt, spec)
+    final_loss = float(items["loss_total"][-1])  # forces the whole chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
-    rays_per_sec = iters * R / dt
+    rays_per_sec = dispatches * S * R / dt
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

@@ -224,6 +224,9 @@ class Options:
     mesh_rays: int = 1                     # data-parallel mesh size over the ray axis
     grid_rebuild_every: int = 1            # rebuild point grid every N steps (1 = per step)
     compute_dtype: str = "float32"         # float32 | bfloat16 for the aggregator MLP
+    steps_per_dispatch: int = 8            # train steps fused into one device dispatch
+    query_max_voxels: int = 14             # cull KNN candidate voxels to T nearest centers (0=all)
+    remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

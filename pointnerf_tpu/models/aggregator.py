@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .networks import init_mlp, apply_mlp, activation
+from .networks import init_mlp, apply_mlp, apply_mlp_pieces, activation
 from ..ops.pe import positional_encoding
 from ..ops.sh import sh_basis
 from ..ops.geometry import compute_world2local_dist
@@ -295,14 +295,16 @@ def aggregator_forward(params: Dict, opt,
     else:
         ori_viewdirs, viewdirs_pe = viewdirs, viewdirs
 
-    # ---- per-neighbor features
+    # ---- per-neighbor features. Kept as a LIST of pieces: apply_mlp_pieces
+    # runs the first layer as per-piece matmuls, skipping the concatenated
+    # feature matrix and the tile-padded copies a physical concat of narrow
+    # slices costs on TPU (measured GBs of HLO temps at production shapes).
     if opt.agg_intrp_order == 0:
         feat = jnp.sum(sampled_embedding * w_eff[..., None], axis=-2)  # [B,R,SR,F]
+        pieces = [feat.reshape(-1, feat.shape[-1])]
         if opt.num_feat_freqs > 0:
-            feat = jnp.concatenate(
-                [feat, positional_encoding(feat, opt.num_feat_freqs)], axis=-1)
-        rows = feat.reshape(-1, feat.shape[-1])
-        per_neighbor = False
+            pe = positional_encoding(feat, opt.num_feat_freqs)
+            pieces.append(pe.reshape(-1, pe.shape[-1]))
     else:
         d = dists
         if opt.dist_xyz_deno > 0.0:
@@ -311,23 +313,23 @@ def aggregator_forward(params: Dict, opt,
         d = jnp.concatenate([dw, d[..., 3:]], axis=-1)
         if opt.dist_xyz_freq != 0:
             d = positional_encoding(d, abs(opt.dist_xyz_freq))
-        feat = sampled_embedding
+        pieces = [sampled_embedding.reshape(-1, sampled_embedding.shape[-1])]
         if opt.num_feat_freqs > 0:
-            feat = jnp.concatenate(
-                [feat, positional_encoding(feat, opt.num_feat_freqs)], axis=-1)
-        feat = jnp.concatenate([feat, d], axis=-1)      # [B,R,SR,K,F']
-        rows = feat.reshape(-1, feat.shape[-1])
+            pe = positional_encoding(sampled_embedding, opt.num_feat_freqs)
+            pieces.append(pe.reshape(-1, pe.shape[-1]))
         dists_flat = d.reshape(-1, d.shape[-1])
-        per_neighbor = True
+        pieces.append(dists_flat)
 
     # ---- MLP trunk (single big matmul stack — the MXU hot loop)
-    x = rows
     if opt.shading_feature_mlp_layer1 > 0:
-        x = apply_mlp(params["block1"], x, act, compute_dtype=compute_dtype)
+        x = apply_mlp_pieces(params["block1"], pieces, act,
+                             compute_dtype=compute_dtype)
+    else:
+        x = jnp.concatenate(pieces, axis=-1)
     if opt.shading_feature_mlp_layer2 > 0:
-        if opt.agg_intrp_order > 0:
-            x = jnp.concatenate([x, dists_flat], axis=-1)
-        x = apply_mlp(params["block2"], x, act, compute_dtype=compute_dtype)
+        p2 = [x] + ([dists_flat] if opt.agg_intrp_order > 0 else [])
+        x = apply_mlp_pieces(params["block2"], p2, act,
+                             compute_dtype=compute_dtype)
     if opt.shading_feature_mlp_layer3 > 0:
         extra = [x]
         if sampled_color is not None and "1" in list(opt.point_color_mode):
@@ -338,8 +340,8 @@ def aggregator_forward(params: Dict, opt,
                                    (B, R, SR, K, 3)).reshape(-1, 3)
             extra.append(sdir - ovd)
             extra.append(jnp.sum(sdir * ovd, axis=-1, keepdims=True))
-        x = jnp.concatenate(extra, axis=-1)
-        x = apply_mlp(params["block3"], x, act, compute_dtype=compute_dtype)
+        x = apply_mlp_pieces(params["block3"], extra, act,
+                             compute_dtype=compute_dtype)
 
     F = x.shape[-1]
     if opt.agg_intrp_order == 1:
@@ -348,11 +350,10 @@ def aggregator_forward(params: Dict, opt,
         alpha = raw2out_density(opt, apply_mlp(
             params["alpha_branch"], feat_pt.reshape(-1, F), act, final_act=False,
             compute_dtype=compute_dtype))
-        color_in = jnp.concatenate(
-            [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)], axis=-1)
-        color = raw2out_color(opt, apply_mlp(
-            params["color_branch"], color_in, act, final_act=False,
-            compute_dtype=compute_dtype))
+        color = raw2out_color(opt, apply_mlp_pieces(
+            params["color_branch"],
+            [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)],
+            act, final_act=False, compute_dtype=compute_dtype))
     elif opt.agg_intrp_order == 2:
         # per-neighbor alpha, then interpolate (reference :601-639)
         alpha_k = raw2out_density(opt, apply_mlp(
@@ -361,19 +362,17 @@ def aggregator_forward(params: Dict, opt,
         alpha = jnp.sum(alpha_k * w_eff[..., None], axis=-2).reshape(-1, 1)
         feat_k = x.reshape(B, R, SR, K, F)
         feat_pt = jnp.sum(feat_k * w_eff[..., None], axis=-2)
-        color_in = jnp.concatenate(
-            [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)], axis=-1)
-        color = raw2out_color(opt, apply_mlp(
-            params["color_branch"], color_in, act, final_act=False,
-            compute_dtype=compute_dtype))
+        color = raw2out_color(opt, apply_mlp_pieces(
+            params["color_branch"],
+            [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)],
+            act, final_act=False, compute_dtype=compute_dtype))
     else:  # agg_intrp_order == 0
         alpha = raw2out_density(opt, apply_mlp(
             params["alpha_branch"], x, act, final_act=False,
             compute_dtype=compute_dtype))
-        color_in = jnp.concatenate([x, viewdirs_pe.reshape(B * R * SR, -1)], axis=-1)
-        color = raw2out_color(opt, apply_mlp(
-            params["color_branch"], color_in, act, final_act=False,
-            compute_dtype=compute_dtype))
+        color = raw2out_color(opt, apply_mlp_pieces(
+            params["color_branch"], [x, viewdirs_pe.reshape(B * R * SR, -1)],
+            act, final_act=False, compute_dtype=compute_dtype))
 
     out = jnp.concatenate([alpha, color], axis=-1).reshape(B, R, SR, 4)
     out = out * ray_valid[..., None].astype(out.dtype)  # zero invalid shading points

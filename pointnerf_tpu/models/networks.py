@@ -70,6 +70,34 @@ def apply_mlp(layers: List[Dict], x: jnp.ndarray, act, final_act: bool = True,
     return x
 
 
+def apply_mlp_pieces(layers: List[Dict], pieces: Sequence[jnp.ndarray], act,
+                     final_act: bool = True,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
+    """apply_mlp(concat(pieces)) without the concatenate.
+
+    concat(x1..xn) @ W == sum_i xi @ W[rows_i] — the first layer runs as one
+    matmul per piece. On TPU this avoids materializing the concatenated
+    feature matrix AND the tile-padded layout copies of narrow pieces that a
+    physical concatenate forces (each [rows, <128] slice pads its lane dim).
+    """
+    first = layers[0]
+    w = first["w"].astype(compute_dtype)
+    off = 0
+    x = None
+    for p in pieces:
+        k = p.shape[-1]
+        term = jnp.dot(p.astype(compute_dtype), w[off:off + k],
+                       preferred_element_type=jnp.float32)
+        x = term if x is None else x + term
+        off += k
+    assert off == w.shape[0], (off, w.shape)
+    x = x + first["b"]
+    if final_act or len(layers) > 1:
+        x = act(x)
+    return apply_mlp(layers[1:], x, act, final_act=final_act,
+                     compute_dtype=compute_dtype) if len(layers) > 1 else x
+
+
 # --------------------------------------------------------------------------- schedules
 def make_lr_schedule(opt, base_lr: float):
     """LR schedule factory (reference: networks.py:41-68)."""

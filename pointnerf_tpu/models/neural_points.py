@@ -168,10 +168,16 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
     sample_pidx: [B,R,SR,K] int32 (-1 = missing).
     """
     B = sample_pidx.shape[0]
-    safe = jnp.maximum(sample_pidx, 0)
+    shape = sample_pidx.shape
+    safe = jnp.maximum(sample_pidx, 0).reshape(-1)  # flat 1-D: fast gather path
     pnt_mask = sample_pidx >= 0
 
-    xyz = state["xyz"][safe]                       # [B,R,SR,K,3]
+    def take(buf):
+        if buf is None:
+            return None
+        return buf[safe].reshape(shape + buf.shape[1:])
+
+    xyz = take(state["xyz"])                       # [B,R,SR,K,3]
     shift = xyz - campos.reshape(B, 1, 1, 1, 3)
     rot_t = jnp.swapaxes(camrotc2w, -1, -2).reshape(B, 1, 1, 1, 3, 3)
     xyz_c = jnp.sum(shift[..., None, :] * rot_t, axis=-1)
@@ -182,10 +188,10 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
     out = {
         "sampled_xyz": xyz,
         "sampled_xyz_pers": xyz_pers,
-        "sampled_embedding": state["embedding"][safe],
-        "sampled_color": state["color"][safe] if state["color"] is not None else None,
-        "sampled_dir": state["dir"][safe] if state["dir"] is not None else None,
-        "sampled_conf": state["conf"][safe] if state["conf"] is not None else None,
+        "sampled_embedding": take(state["embedding"]),
+        "sampled_color": take(state["color"]),
+        "sampled_dir": take(state["dir"]),
+        "sampled_conf": take(state["conf"]),
         "sample_pnt_mask": pnt_mask,
         "Rw2c": state["Rw2c"],
     }

@@ -25,26 +25,16 @@ from . import neural_points as npc
 from .aggregator import aggregator_forward
 
 
-def render_forward(agg_params: Dict,
-                   point_state: Dict,
-                   grid: Dict,
-                   spec: GridSpec,
-                   opt,
-                   batch: Dict,
-                   key: Optional[jax.Array],
-                   is_train: bool,
-                   prob: bool = False,
-                   compute_dtype=jnp.float32) -> Dict:
-    """Render a batch of rays.
+def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
+                 batch: Dict, key: Optional[jax.Array], is_train: bool):
+    """Non-differentiable phase: ray samples → voxel walk → KNN indices.
 
-    batch: raydir [B,R,3], campos [B,3], camrotc2w [B,3,3], near/far scalars,
-    bg_color [B,3] (or None-equivalent), optional bg_ray [B,R,3].
-    Returns the reference output dict (coarse_raycolor, ray_mask, opacity, ...).
+    Split out so training can exclude it from the rematerialized region —
+    recomputing the query in the backward pass would roughly double step time
+    for pure integer outputs that carry no gradients.
     """
     raydir = batch["raydir"]
     campos = batch["campos"]
-    camrotc2w = batch["camrotc2w"]
-    B, R, _ = raydir.shape
 
     # 1. raw depth samples (reference point_query.py:78-81: jitter 0.3 at train)
     gen = raygen.find_ray_generation_method(
@@ -56,7 +46,25 @@ def render_forward(agg_params: Dict,
 
     # 2. voxel walk + shading-point compaction + KNN
     sample_pidx, sample_loc_w, ray_mask = query_grid_points(
-        raypos, point_state["xyz"], grid, spec, SR=opt.SR, K=opt.K)
+        raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
+        SR=opt.SR, K=opt.K)
+    return sample_pidx, jax.lax.stop_gradient(sample_loc_w), ray_mask
+
+
+def render_shade(agg_params: Dict,
+                 point_state: Dict,
+                 spec: GridSpec,
+                 opt,
+                 batch: Dict,
+                 query_out,
+                 prob: bool = False,
+                 compute_dtype=jnp.float32) -> Dict:
+    """Differentiable phase: gather attributes → aggregate → ray march."""
+    raydir = batch["raydir"]
+    campos = batch["campos"]
+    camrotc2w = batch["camrotc2w"]
+    B, R, _ = raydir.shape
+    sample_pidx, sample_loc_w, ray_mask = query_out
 
     # 3. gather neighbor attributes; perspective coords of shading locations
     g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
@@ -150,3 +158,24 @@ def render_forward(agg_params: Dict,
             output[name] = None if arr is None else jnp.sum(arr * sel_w, axis=-2)
 
     return output
+
+
+def render_forward(agg_params: Dict,
+                   point_state: Dict,
+                   grid: Dict,
+                   spec: GridSpec,
+                   opt,
+                   batch: Dict,
+                   key: Optional[jax.Array],
+                   is_train: bool,
+                   prob: bool = False,
+                   compute_dtype=jnp.float32) -> Dict:
+    """Render a batch of rays (query + shade).
+
+    batch: raydir [B,R,3], campos [B,3], camrotc2w [B,3,3], near/far scalars,
+    bg_color [B,3] (or None-equivalent), optional bg_ray [B,R,3].
+    Returns the reference output dict (coarse_raycolor, ray_mask, opacity, ...).
+    """
+    query_out = render_query(point_state, grid, spec, opt, batch, key, is_train)
+    return render_shade(agg_params, point_state, spec, opt, batch, query_out,
+                        prob=prob, compute_dtype=compute_dtype)

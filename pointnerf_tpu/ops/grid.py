@@ -43,6 +43,7 @@ class GridSpec:
     query_size: Tuple[int, int, int]         # occupancy dilation extent (voxels)
     radius_limit: float                      # neighbor radius cap (world units); 0 = off
     vsize: Tuple[float, float, float]        # unscaled voxel size (for shading dists)
+    query_max_voxels: int = 0                # cull neighbor voxels to T nearest (0 = off)
 
     @property
     def grid_size_vol(self) -> int:
@@ -83,6 +84,7 @@ def make_grid_spec(opt, points_min=None, points_max=None, max_points: int = 0) -
         query_size=tuple(int(q) for q in qsize),
         radius_limit=float(opt.radius_limit),
         vsize=tuple(float(v) for v in vsize),
+        query_max_voxels=int(getattr(opt, "query_max_voxels", 0)),
     )
 
 
@@ -155,6 +157,18 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
     occ_numpnts = occ_numpnts.at[jnp.where(keep_p, slot, spec.max_o)].add(
         keep_p.astype(jnp.int32), mode="drop")
 
+    # bucketed point payload: one contiguous [P,4] tile per occupied voxel —
+    # (x, y, z, point_index-as-float) — so the querier reads whole rows from a
+    # 2-D table in ONE flat gather (multi-level tile gathers and a separate
+    # occ_2_pnts index gather each lower ~15x slower). Point indices are exact
+    # in f32 up to 2^24 points. Padded slots park at 1e8 (far).
+    payload = jnp.concatenate(
+        [jnp.where(keep_p[:, None], xyz[order], 1.0e8),
+         jnp.where(keep_p, order, -1).astype(xyz.dtype)[:, None]], axis=-1)
+    occ_2_xyz = jnp.full((spec.max_o * spec.P, 4), 1.0e8, dtype=xyz.dtype)
+    occ_2_xyz = occ_2_xyz.at[flat].set(payload, mode="drop").reshape(
+        spec.max_o, spec.P, 4)
+
     # dilated occupancy: scatter 1s then max-pool with the query_size window.
     occ = jnp.zeros((vol,), dtype=jnp.int8)
     occ = occ.at[scat_lin].set(jnp.where(keep & head, 1, 0).astype(jnp.int8),
@@ -172,6 +186,7 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
     return {
         "coor_2_occ": coor_2_occ,
         "occ_2_pnts": occ_2_pnts,
+        "occ_2_xyz": occ_2_xyz,
         "occ_numpnts": occ_numpnts,
         "coor_occ": coor_occ,
         "num_occ": num_occ,

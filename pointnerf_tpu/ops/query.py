@@ -8,11 +8,20 @@ Design deltas (SURVEY.md §7.1):
 * No data-dependent ray compaction — the reference reads the valid-ray count back to the
   host twice per step (cu:382, 426); here all shapes are static and `ray_mask` is carried
   as a mask. Invalid rays produce zero weights downstream.
-* K-nearest neighbors are exact over the kernel_size³ voxel neighborhood (running top-K
-  merged one voxel-offset at a time via lax.scan), instead of the reference's
-  shell-order-dependent max-replace buffer (cu:253-301). When more than K candidates
-  exist the reference may keep a non-nearest subset depending on shell visit order;
-  exact KNN is a strict quality improvement, not a regression.
+* K-nearest neighbors are computed over the kernel_size³ voxel neighborhood in one
+  fused gather + top-k (optionally center-culled to the T nearest voxels,
+  spec.query_max_voxels), instead of the reference's shell-order-dependent
+  max-replace buffer (cu:253-301). When more than K candidates exist the reference
+  may keep a non-nearest subset depending on shell visit order; (near-)exact KNN is
+  a quality improvement, not a regression.
+
+Performance notes (v5e-1, measured with host-fetch timing):
+* all hot lookups are FLAT 2-D row gathers — multi-dim tile gathers lower ~15x slower;
+* the per-voxel point payload is packed as (x,y,z,index) rows so one gather serves
+  both distances and index translation;
+* shading-point compaction is top_k-based (TPU scatter is ~5x slower);
+* never trust `block_until_ready` for timing through a remote-tunneled runtime —
+  fetch a scalar that depends on the computation.
 """
 
 from __future__ import annotations
@@ -43,20 +52,18 @@ def select_shading_points(raypos: jnp.ndarray, raypos_valid: jnp.ndarray, SR: in
     """Compact the first ≤SR valid samples of each ray into [B,R,SR,3].
 
     Reference: cumsum-rank host step + get_shadingloc kernel (cu:390-391, 192-214).
+    Gather formulation: per-ray top_k over -cumsum picks the depth positions of
+    the first SR valid samples in order (TPU scatter — the obvious .at[rank]
+    construction — measured ~5x slower than this top_k + take_along_axis).
     """
     B, R, D, _ = raypos.shape
-    cum = jnp.cumsum(raypos_valid.astype(jnp.int32), axis=-1)
-    rank = jnp.where(raypos_valid & (cum <= SR), cum - 1, SR)  # SR = drop slot
-    sample_loc = jnp.zeros((B, R, SR + 1, 3), dtype=raypos.dtype)
-    sample_loc = sample_loc.at[
-        jnp.arange(B)[:, None, None],
-        jnp.arange(R)[None, :, None],
-        rank].set(raypos)[:, :, :SR]
-    mask = jnp.zeros((B, R, SR + 1), dtype=jnp.bool_)
-    mask = mask.at[
-        jnp.arange(B)[:, None, None],
-        jnp.arange(R)[None, :, None],
-        rank].set(raypos_valid)[:, :, :SR]
+    cum = jnp.cumsum(raypos_valid.astype(jnp.int32), axis=-1)     # [B,R,D]
+    ok = raypos_valid & (cum <= SR)
+    score = jnp.where(ok, -cum.astype(jnp.float32), -3.0e38)
+    vals, args = jax.lax.top_k(score, SR)                         # cum=1 first
+    mask = vals > -1.0e38                                         # [B,R,SR]
+    sample_loc = jnp.take_along_axis(raypos, args[..., None], axis=2)
+    sample_loc = jnp.where(mask[..., None], sample_loc, 0.0)
     return sample_loc, mask
 
 
@@ -67,6 +74,14 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     sample_loc: [B,R,SR,3] (world); sample_mask: [B,R,SR]; xyz: [N,3].
     Returns sample_pidx [B,R,SR,K] int32 with -1 for missing neighbors.
     Reference: cu:217-302.
+
+    TPU layout: all O=kernel³ neighbor voxels are gathered at once as
+    contiguous [P,3] xyz tiles (grid["occ_2_xyz"], built once per grid), the
+    O·P candidate distances are computed in one fused elementwise pass, and a
+    single top-k selects the neighbors. (A scan over offsets with per-step
+    top_k merges was ~5x slower: 27 serialized sorts + scattered point
+    gathers; flat 2-D row gathers of packed (x,y,z,idx) tiles are the fast
+    path — see stage comments.)
     """
     B, R, SR, _ = sample_loc.shape
     P = spec.P
@@ -74,46 +89,57 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
 
     coords, _ = voxel_coords(sample_loc, spec)  # [B,R,SR,3]
 
-    kx, ky, kz = spec.kernel_size
-    # shell radius matches the reference loop bound (cu:256): layers 0..(kx+1)/2-1.
-    lx = (kx + 1) // 2 - 1
+    kx, _, _ = spec.kernel_size
+    lx = (kx + 1) // 2 - 1  # reference shell loop bound (cu:256)
     offs = np.stack(np.meshgrid(
         np.arange(-lx, lx + 1), np.arange(-lx, lx + 1), np.arange(-lx, lx + 1),
         indexing="ij"), axis=-1).reshape(-1, 3).astype(np.int32)
-    # visit near shells first so ties prefer close voxels (cosmetic; KNN is exact)
-    order = np.argsort(np.abs(offs).max(axis=-1), kind="stable")
-    offs = jnp.asarray(offs[order])  # [O, 3]
+    offs = jnp.asarray(offs)                                 # [O,3]
+    O = offs.shape[0]
 
     vdim = jnp.asarray(spec.vdim, dtype=jnp.int32)
-    radius2 = jnp.float32(spec.radius_limit * spec.radius_limit)
+    c = coords[..., None, :] + offs                          # [B,R,SR,O,3]
+    inb = jnp.all((c >= 0) & (c < vdim), axis=-1)
+    lin = jnp.where(inb, linearize(c, spec), 0)
+    slot = jnp.where(inb & sample_mask[..., None],
+                     grid["coor_2_occ"][lin], -1)            # [B,R,SR,O]
 
-    def per_offset(carry, off):
-        best_d, best_i = carry  # [B,R,SR,K]
-        c = coords + off  # [B,R,SR,3]
-        inb = jnp.all((c >= 0) & (c < vdim), axis=-1)
-        lin = jnp.where(inb, linearize(c, spec), 0)
-        slot = jnp.where(inb, grid["coor_2_occ"][lin], -1)  # [B,R,SR]
-        cand = grid["occ_2_pnts"][jnp.maximum(slot, 0)]     # [B,R,SR,P]
-        cand_valid = (slot[..., None] >= 0) & (cand >= 0) & sample_mask[..., None]
-        safe = jnp.maximum(cand, 0)
-        cxyz = xyz[safe]                                     # [B,R,SR,P,3]
-        d2 = jnp.sum(jnp.square(cxyz - sample_loc[..., None, :]), axis=-1)
-        if spec.radius_limit > 0:
-            cand_valid = cand_valid & (d2 <= radius2)
-        d2 = jnp.where(cand_valid, d2, BIG)
-        # merge: running best K ∪ P new candidates → best K
-        all_d = jnp.concatenate([best_d, d2], axis=-1)               # [...,K+P]
-        all_i = jnp.concatenate([best_i, jnp.where(cand_valid, cand, -1)], axis=-1)
-        neg_top, arg = jax.lax.top_k(-all_d, K)
-        best_d = -neg_top
-        best_i = jnp.take_along_axis(all_i, arg, axis=-1)
-        return (best_d, best_i), None
+    # stage 1 — voxel cull: keep the T nearest CANDIDATE voxels by center
+    # distance. The [P,3] tile gather is the query's dominant HBM traffic
+    # (random ~100B reads); culling 27 -> T cuts it proportionally while a
+    # non-selected voxel almost never holds a true K-nearest point (its
+    # center is farther than T-th best).
+    T = spec.query_max_voxels
+    if 0 < T < O:
+        mn = jnp.asarray(spec.ranges_min, sample_loc.dtype)
+        vs = jnp.asarray(spec.scaled_vsize, sample_loc.dtype)
+        centers = (c.astype(sample_loc.dtype) + 0.5) * vs + mn
+        dc = jnp.sum(jnp.square(centers - sample_loc[..., None, :]), axis=-1)
+        dc = jnp.where(slot >= 0, dc, BIG)
+        _, vox_arg = jax.lax.top_k(-dc, T)                   # [B,R,SR,T]
+        slot = jnp.take_along_axis(slot, vox_arg, axis=-1)
+        O = T
+    safe_slot = jnp.maximum(slot, 0)
 
-    init = (jnp.full((B, R, SR, K), BIG, dtype=jnp.float32),
-            jnp.full((B, R, SR, K), -1, dtype=jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(per_offset, init, offs)
-    sample_pidx = jnp.where(best_d < BIG, best_i, -1)
-    return sample_pidx
+    # stage 2 — ONE flat 2-D row gather of the packed (x,y,z,idx) tiles.
+    # Multi-level tile gathers ([max_o,P,3] with slice (1,P,3)) lower ~15x
+    # slower than flat row gathers (measured 4M rows: ~28ms flat); packing the
+    # point index as a float 4th channel removes the occ_2_pnts gather.
+    rows = grid["occ_2_xyz"].reshape(spec.max_o, P * 4)[
+        safe_slot.reshape(-1)].reshape(B, R, SR, O, P, 4)
+    cxyz = rows[..., :3]
+    cand_idx = rows[..., 3].astype(jnp.int32).reshape(B, R, SR, O * P)
+    d2 = jnp.sum(jnp.square(cxyz - sample_loc[..., None, None, :]), axis=-1)
+    valid = (slot[..., None] >= 0) & (d2 < 1.0e15)           # padded tiles → far
+    if spec.radius_limit > 0:
+        valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
+    d2 = jnp.where(valid, d2, BIG).reshape(B, R, SR, O * P)
+
+    # stage 3 — top-k selection
+    neg_top, arg = jax.lax.top_k(-d2, K)
+    best_d = -neg_top
+    best_i = jnp.take_along_axis(cand_idx, arg, axis=-1)
+    return jnp.where(best_d < BIG, best_i, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "SR", "K"))

@@ -237,35 +237,56 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 top_miss_loss[:] = 0
                 top_miss_ids[:] = np.arange(num_probe + 1) % len(train_ds)
 
-        # ------------------------------------------------ train step
-        fid = int(rng.randint(len(train_ds)))
-        item = train_ds.get_item(fid, rng=rng)
-        batch = {k: jnp.asarray(v) for k, v in item.items()
-                 if k in ("raydir", "campos", "camrotc2w", "near", "far",
-                          "bg_color", "gt_image")}
-        key, sub = jax.random.split(key)
-        ts, items = trainer.train_step(ts, grid, batch, sub, opt, spec)
-        total_steps += 1
+        # ------------------------------------------------ train steps
+        # fuse up to steps_per_dispatch steps into one device dispatch,
+        # clamped so prune/grow/print/save/test boundaries land exactly
+        boundaries = [stop_at]
+        for freq in (opt.prune_iter, opt.prob_freq, opt.print_freq,
+                     opt.save_iter_freq, opt.test_freq, opt.save_point_freq,
+                     opt.grid_rebuild_every if opt.xyz_grad > 0 else 0):
+            if freq > 0:
+                boundaries.append((total_steps // freq + 1) * freq)
+        chunk = max(1, min(opt.steps_per_dispatch,
+                           min(boundaries) - total_steps))
+        fids = [int(rng.randint(len(train_ds))) for _ in range(chunk)]
+        host_items = [train_ds.get_item(f, rng=rng) for f in fids]
+        batch_keys = ("raydir", "campos", "camrotc2w", "near", "far",
+                      "bg_color", "gt_image")
+        if chunk == 1:
+            batch = {k: jnp.asarray(host_items[0][k]) for k in batch_keys}
+            ts, items = trainer.train_step(ts, grid, batch, key, opt, spec)
+            step_items = [items]
+        else:
+            batches = {k: jnp.asarray(np.stack([it[k] for it in host_items]))
+                       for k in batch_keys}
+            ts, items_s = trainer.train_steps_scan(ts, grid, batches, key,
+                                                   opt, spec)
+            items_np = {k: np.asarray(v) for k, v in items_s.items()}
+            step_items = [{k: v[s] for k, v in items_np.items()}
+                          for s in range(chunk)]
+        total_steps += chunk
 
         if opt.grid_rebuild_every > 0 and opt.xyz_grad > 0 and \
                 total_steps % opt.grid_rebuild_every == 0:
             grid = trainer.rebuild_grid(ts, spec)
 
-        # ray-miss ranking update
         miss_key = "loss_ray_miss_coarse_raycolor"
-        if opt.prob_freq > 0 and miss_key in items:
-            loss_miss = float(items[miss_key])
-            hit = np.flatnonzero(top_miss_ids == fid)
-            if len(hit):
-                top_miss_loss[hit] = np.maximum(top_miss_loss[hit], loss_miss)
-            else:
-                top_miss_ids[-1] = fid
-                top_miss_loss[-1] = loss_miss
-            order = np.argsort(-top_miss_loss, kind="stable")
-            top_miss_loss, top_miss_ids = top_miss_loss[order], top_miss_ids[order]
-
-        visualizer.accumulate_losses(
-            {k: float(v) for k, v in items.items()})
+        for fid, items in zip(fids, step_items):
+            # ray-miss ranking update
+            if opt.prob_freq > 0 and miss_key in items:
+                loss_miss = float(items[miss_key])
+                hit = np.flatnonzero(top_miss_ids == fid)
+                if len(hit):
+                    top_miss_loss[hit] = np.maximum(top_miss_loss[hit],
+                                                    loss_miss)
+                else:
+                    top_miss_ids[-1] = fid
+                    top_miss_loss[-1] = loss_miss
+                order = np.argsort(-top_miss_loss, kind="stable")
+                top_miss_loss = top_miss_loss[order]
+                top_miss_ids = top_miss_ids[order]
+            visualizer.accumulate_losses(
+                {k: float(v) for k, v in items.items()})
         if total_steps % opt.print_freq == 0:
             visualizer.print_losses(total_steps)
         if opt.save_point_freq > 0 and total_steps % opt.save_point_freq == 0:

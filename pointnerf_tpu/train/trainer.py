@@ -102,13 +102,32 @@ def point_state_of(state: TrainState) -> Dict:
 
 def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
                        opt, spec: GridSpec):
-    """Loss items + gradients for both parameter groups (forward+backward only)."""
+    """Loss items + gradients for both parameter groups (forward+backward only).
+
+    With opt.remat the render is rematerialized in the backward pass: the
+    per-neighbor MLP activations over B·R·SR·K rows (≈GBs at production ray
+    counts) are recomputed instead of stored — the standard TPU trade of
+    FLOPs for HBM.
+    """
+
+    from ..models.renderer import render_query, render_shade
+
+    # the query (ray samples → voxel walk → KNN indices) carries no gradients:
+    # run it once OUTSIDE the rematerialized region
+    query_out = render_query(merge_point_params(state.pt_train, state.pt_static),
+                             grid, spec, opt, batch, key, is_train=True)
+
+    def render_fn(agg_params, pt_train):
+        point_state = merge_point_params(pt_train, state.pt_static)
+        return render_shade(agg_params, point_state, spec, opt, batch,
+                            query_out,
+                            compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+
+    if opt.remat > 0:
+        render_fn = jax.checkpoint(render_fn)
 
     def loss_fn(agg_params, pt_train):
-        point_state = merge_point_params(pt_train, state.pt_static)
-        output = render_forward(agg_params, point_state, grid, spec, opt, batch,
-                                key, is_train=True,
-                                compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+        output = render_fn(agg_params, pt_train)
         total, items = compute_losses(opt, output, batch["gt_image"])
         return total, items
 
@@ -126,8 +145,15 @@ def train_step_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
 
     Pure (unjitted) so the parallel module can re-jit it with explicit shardings;
     use `train_step` for the single-chip jitted entry point.
+
+    `key` may be a CONSTANT training key: per-step randomness derives from
+    fold_in(key, step) inside the jit, so the driver loop issues exactly one
+    device dispatch per step (host-side jax.random.split between steps costs
+    a full dispatch round-trip — measured ~10ms through the axon tunnel vs
+    ~3ms for the whole step).
     """
     net_tx, pts_tx = make_optimizers(opt)
+    key = jax.random.fold_in(key, state.step)
     items, g_net, g_pts = compute_grads_impl(state, grid, batch, key, opt, spec)
 
     if opt.alter_step > 0:
@@ -153,6 +179,27 @@ def train_step_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Array,
 
 
 train_step = jax.jit(train_step_impl, static_argnames=("opt", "spec"))
+
+
+def train_steps_scan_impl(state: TrainState, grid: Dict, batches: Dict,
+                          key: jax.Array, opt, spec: GridSpec
+                          ) -> Tuple[TrainState, Dict]:
+    """S optimization steps in ONE dispatch via lax.scan.
+
+    batches: pytree whose ray-dependent leaves are stacked [S, ...] (campos,
+    near/far etc. may also be stacked). Loss items are returned per step
+    [S]. Amortizes per-dispatch latency — the dominant cost of small steps
+    on a remote-tunneled chip — without changing numerics (same fold_in(key,
+    step) randomness as S calls to train_step).
+    """
+    def body(st, batch):
+        return train_step_impl(st, grid, batch, key, opt=opt, spec=spec)
+
+    return jax.lax.scan(body, state, batches)
+
+
+train_steps_scan = jax.jit(train_steps_scan_impl,
+                           static_argnames=("opt", "spec"))
 
 
 def eval_step_impl(state: TrainState, grid: Dict, batch: Dict, opt, spec: GridSpec,
