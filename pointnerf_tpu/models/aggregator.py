@@ -285,10 +285,23 @@ def aggregator_forward(params: Dict, opt,
     w_eff = weight * conf_coefficient  # [B,R,SR,K]
 
     # ---- view directions (per shading point)
+    # sampled_Rw2c: [3,3] global, or [B,R,SR,K,3,3] per neighbor (scene
+    # editing composes parts with per-point rigid transforms,
+    # reference viewmlp :492-506 / run/editing.py:194-212)
+    # 3x3 rotations are applied elementwise ((v[...,None] * M).sum(-2)) —
+    # exact in f32, unlike TPU dot_general which rounds operands to bf16 at
+    # default precision.
+    def rot3(v, M):  # v [...,3] @ M [...,3,3]
+        return jnp.sum(v[..., :, None] * M, axis=-2)
+
     uni_w2c = sampled_Rw2c.ndim == 2
-    if not uni_w2c:
-        raise NotImplementedError("per-point Rw2c supported via editing path later")
-    viewdirs = sample_ray_dirs @ sampled_Rw2c.T.astype(sample_ray_dirs.dtype)
+    if uni_w2c:
+        viewdirs = rot3(sample_ray_dirs,
+                        sampled_Rw2c.T.astype(sample_ray_dirs.dtype))
+    else:
+        rw2cT = jnp.swapaxes(sampled_Rw2c, -1, -2).astype(sample_ray_dirs.dtype)
+        # per-ray rotation = first neighbor's (reference :495,506)
+        viewdirs = rot3(sample_ray_dirs, rw2cT[:, :, :, 0])
     if opt.num_viewdir_freqs > 0:
         vd = positional_encoding(viewdirs, opt.num_viewdir_freqs, ori=True)
         ori_viewdirs, viewdirs_pe = vd[..., :3], vd[..., 3:]
@@ -309,7 +322,12 @@ def aggregator_forward(params: Dict, opt,
         d = dists
         if opt.dist_xyz_deno > 0.0:
             d = d / jnp.float32(opt.dist_xyz_deno * np.linalg.norm(vsize))
-        dw = d[..., :3] @ sampled_Rw2c.astype(d.dtype)
+        # world→local: v @ R_w2c^T (reference pre-transposes then right-
+        # multiplies, point_aggregators.py:492,526)
+        if uni_w2c:
+            dw = rot3(d[..., :3], sampled_Rw2c.T.astype(d.dtype))
+        else:
+            dw = rot3(d[..., :3], rw2cT)
         d = jnp.concatenate([dw, d[..., 3:]], axis=-1)
         if opt.dist_xyz_freq != 0:
             d = positional_encoding(d, abs(opt.dist_xyz_freq))
@@ -335,7 +353,12 @@ def aggregator_forward(params: Dict, opt,
         if sampled_color is not None and "1" in list(opt.point_color_mode):
             extra.append(sampled_color.reshape(-1, 3))
         if sampled_dir is not None and "1" in list(opt.point_dir_mode):
-            sdir = sampled_dir.reshape(-1, 3) @ sampled_Rw2c.astype(jnp.float32)
+            if uni_w2c:
+                sdir = rot3(sampled_dir.reshape(-1, 3),
+                            sampled_Rw2c.T.astype(jnp.float32))
+            else:
+                sdir = rot3(sampled_dir.astype(jnp.float32),
+                            rw2cT.astype(jnp.float32)).reshape(-1, 3)
             ovd = jnp.broadcast_to(ori_viewdirs[..., None, :],
                                    (B, R, SR, K, 3)).reshape(-1, 3)
             extra.append(sdir - ovd)

@@ -62,7 +62,16 @@ def create_point_cloud(xyz: np.ndarray,
     state["color"] = pad(np.asarray(color, np.float32)) if color is not None else None
     state["dir"] = pad(np.asarray(direction, np.float32)) if direction is not None else None
     state["conf"] = pad(np.asarray(conf, np.float32)) if conf is not None else None
-    state["Rw2c"] = jnp.asarray(Rw2c if Rw2c is not None else np.eye(3, dtype=np.float32))
+    if Rw2c is None:
+        state["Rw2c"] = jnp.asarray(np.eye(3, dtype=np.float32))
+    else:
+        Rw2c = np.asarray(Rw2c, np.float32)
+        if Rw2c.ndim == 3:  # per-point (editing): pad with identity
+            out = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+            out[:n] = Rw2c
+            state["Rw2c"] = jnp.asarray(out)
+        else:
+            state["Rw2c"] = jnp.asarray(Rw2c)
     return state
 
 
@@ -185,6 +194,10 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
                           xyz_c[..., 1] / xyz_c[..., 2],
                           xyz_c[..., 2]], axis=-1)
 
+    rw2c = state["Rw2c"]
+    if rw2c.ndim == 3:  # per-point (scene editing): gather [B,R,SR,K,3,3]
+        rw2c = rw2c.reshape(-1, 9)[safe].reshape(shape + (3, 3))
+
     out = {
         "sampled_xyz": xyz,
         "sampled_xyz_pers": xyz_pers,
@@ -193,6 +206,6 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
         "sampled_dir": take(state["dir"]),
         "sampled_conf": take(state["conf"]),
         "sample_pnt_mask": pnt_mask,
-        "Rw2c": state["Rw2c"],
+        "Rw2c": rw2c,
     }
     return out

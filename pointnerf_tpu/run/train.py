@@ -158,7 +158,63 @@ def sample_to_device(sample: Dict) -> Dict:
             if k not in ("scan", "view_ids")}
 
 
+def inference(opt: Options, state: Optional[GenTrainState] = None,
+              max_images: Optional[int] = None) -> Dict:
+    """Pure feed-forward novel-view synthesis on unseen scans — no per-scene
+    optimization (reference: dev_scripts/dtu_test_inf/*.sh run train.py with
+    maximum_step=0). Renders each meta's held-out target view and reports PSNR.
+    """
+    from ..utils.metrics import psnr as psnr_fn
+    from ..utils.visualizer import Visualizer
+    from ..data.base import chunks_of_item
+
+    key = jax.random.PRNGKey(opt.seed)
+    visualizer = Visualizer(opt)
+    test_ds = create_dataset(opt, split="test")
+    n_pts = len(str(opt.depth_vid)) * opt.num_each_depth \
+        * opt.img_wh[0] * opt.img_wh[1]
+    spec = make_grid_spec(opt, max_points=n_pts)
+    if state is None:
+        key, sub = jax.random.split(key)
+        state = create_gen_state(opt, sub)
+        ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)
+        import glob
+        cands = sorted(glob.glob(os.path.join(ckpt_dir, "*_gen.npz")),
+                       key=lambda p: int(os.path.basename(p).split("_")[0]))
+        if cands:
+            state = load_pytree_npz(cands[-1], state)
+            visualizer.print_details(f"loaded {cands[-1]}")
+
+    n = len(test_ds) if max_images is None else min(max_images, len(test_ds))
+    psnrs = []
+    for i in range(n):
+        item = test_ds.get_item(i, full_img=True)
+        sample = sample_to_device(item.pop("mvs_sample"))
+        H, W = int(item["h"]), int(item["w"])
+        img = np.zeros((H, W, 3), np.float32)
+        pix = item["pixel_idx"][0].astype(np.int64)
+        chunk = opt.random_sample_size ** 2
+        for sub_item, s, e in chunks_of_item(item, chunk):
+            batch = {k: jnp.asarray(v) for k, v in sub_item.items()
+                     if k in ("raydir", "campos", "camrotc2w", "near", "far",
+                              "bg_color", "gt_image")}
+            key, k2 = jax.random.split(key)
+            out = gen_eval_step(state, sample, batch, k2, opt, spec)
+            arr = np.asarray(out["coarse_raycolor"][0])[: e - s]
+            img[pix[s:e, 1], pix[s:e, 0]] = arr
+        gt = item["gt_image"][0].reshape(H, W, 3)
+        p = psnr_fn(gt, img)
+        psnrs.append(p)
+        visualizer.display_current_results(
+            {"coarse_raycolor": img, "gt_image": gt}, i, subdir="inference")
+    mean = float(np.mean(psnrs))
+    visualizer.print_details(f"feed-forward inference PSNR {mean:.3f} over {n}")
+    return {"psnr": mean, "n": n}
+
+
 def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
+    if opt.maximum_step == 0:
+        return inference(opt)
     key = jax.random.PRNGKey(opt.seed)
     rng = np.random.RandomState(opt.seed)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)

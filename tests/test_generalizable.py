@@ -108,3 +108,16 @@ def test_generalizable_training_steps(dtu_root, tmp_path):
              for a, b in zip(jax.tree.leaves(state.mvs_train),
                              jax.tree.leaves(fresh.mvs_train))]
     assert max(diffs) > 0
+
+
+def test_feedforward_inference(dtu_root, tmp_path):
+    """maximum_step=0 runs pure feed-forward inference (dtu_test_inf parity)."""
+    opt = gen_opt(dtu_root, out=str(tmp_path), maximum_step=0,
+                  random_sample_size=16)
+    res = gen_train.main(opt)
+    assert res["n"] == 6  # test split: 1 scan x 6 viewpoints x 1 light
+    assert np.isfinite(res["psnr"])
+    import os
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "dtu_gen", "images", "inference",
+        "step-0000-coarse_raycolor.png"))
