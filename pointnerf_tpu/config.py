@@ -217,6 +217,7 @@ class Options:
 
     # ---------------------------------------------------------------- misc runtime
     vid: int = 250000
+    plane_ind: int = 0
     gen_vid: int = 0
     no_loss: int = 0
 
@@ -226,6 +227,8 @@ class Options:
     compute_dtype: str = "float32"         # float32 | bfloat16 for the aggregator MLP
     steps_per_dispatch: int = 8            # train steps fused into one device dispatch
     query_max_voxels: int = 14             # cull KNN candidate voxels to T nearest centers (0=all)
+    profile_dir: str = ""                  # capture a jax.profiler trace of the train loop here
+    prefetch_depth: int = 2                # host batches prepared ahead of the device
     remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)
     seed: int = 0
 

@@ -29,7 +29,9 @@ from ..config import Options
 from ..data import create_dataset
 from ..models import neural_points as npc
 from ..train import trainer
+from ..data.loader import Prefetcher
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, latest_step
+from ..utils.profiling import PhaseTimer, device_trace
 from ..utils.metrics import psnr as psnr_fn, report_metrics
 from ..utils.visualizer import Visualizer
 from .common import (init_point_state_from_dataset, make_spec_and_grid,
@@ -104,6 +106,13 @@ def probe_hole(ts, grid, opt, spec, dataset, frame_ids, visualizer,
     if not cand["xyz"]:
         return {}
     out = {k: np.concatenate(v, axis=0) for k, v in cand.items()}
+    # planepoints bg: never grow onto the background plane
+    # (reference: train_ft.py:524-527 filter_plane via masking)
+    if opt.bgmodel.startswith("planepoints") and hasattr(dataset, "filter_plane"):
+        keep = ~np.asarray(dataset.filter_plane(out["xyz"]))
+        out = {k: v[keep] for k, v in out.items()}
+        if not len(out["xyz"]):
+            return {}
     visualizer.save_neural_points(f"prob{total_steps:04d}", out["xyz"], None)
     visualizer.print_details(
         f"probe_hole found {len(out['xyz'])} candidate points")
@@ -183,6 +192,21 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         # BRANCH B: MVSNet depth init (reference: train_ft.py:51-167)
         from .common import gen_points_filter_embeddings
         point_state = gen_points_filter_embeddings(opt, train_ds, key)
+
+    if opt.bgmodel.startswith("planepoints") and \
+            hasattr(train_ds, "get_plane_param_points"):
+        # background plane points join the cloud at init
+        # (reference: dtu_ft get_plane_param_points + train_ft bgmodel wiring)
+        from ..models.neural_points import create_point_cloud
+        bx, bemb, bdir, bcol, bconf = train_ds.get_plane_param_points(rng)
+        mask = np.asarray(point_state["mask"])
+        def cat(k, extra):
+            a = np.asarray(point_state[k])[mask]
+            return np.concatenate([a, extra], axis=0)
+        point_state = create_point_cloud(
+            cat("xyz", bx), cat("embedding", bemb[:, :point_state["embedding"].shape[1]]),
+            cat("color", bcol), cat("dir", bdir), cat("conf", bconf))
+        visualizer.print_details(f"added {len(bx)} background plane points")
     ts = trainer.create_train_state(opt, key, point_state)
     total_steps, best_psnr, best_iter = 0, 0.0, 0
     if latest_step(ckpt_dir) is not None:
@@ -205,6 +229,20 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     stop_at = min(opt.maximum_step, total_steps + max_steps) if max_steps \
         else opt.maximum_step
     t_start = time.time()
+    timer = PhaseTimer()
+
+    # background host-batch preparation (decoupled rng stream; the device
+    # crunches step k while the host assembles step k+1)
+    data_rng = np.random.RandomState(opt.seed + 9999)
+
+    def produce():
+        fid = int(data_rng.randint(len(train_ds)))
+        return fid, train_ds.get_item(fid, rng=data_rng)
+
+    prefetcher = Prefetcher(produce, depth=max(1, opt.prefetch_depth)
+                            * max(1, opt.steps_per_dispatch))
+    trace_ctx = device_trace(opt.profile_dir)
+    trace_ctx.__enter__()
     while total_steps < stop_at:
         # ------------------------------------------------ prune (reference :834-842)
         if opt.prune_iter > 0 and 0 < total_steps <= opt.prune_max_iter \
@@ -248,22 +286,25 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 boundaries.append((total_steps // freq + 1) * freq)
         chunk = max(1, min(opt.steps_per_dispatch,
                            min(boundaries) - total_steps))
-        fids = [int(rng.randint(len(train_ds))) for _ in range(chunk)]
-        host_items = [train_ds.get_item(f, rng=rng) for f in fids]
+        with timer.phase("host_data"):
+            pulled = [prefetcher.get() for _ in range(chunk)]
+        fids = [f for f, _ in pulled]
+        host_items = [it for _, it in pulled]
         batch_keys = ("raydir", "campos", "camrotc2w", "near", "far",
                       "bg_color", "gt_image")
-        if chunk == 1:
-            batch = {k: jnp.asarray(host_items[0][k]) for k in batch_keys}
-            ts, items = trainer.train_step(ts, grid, batch, key, opt, spec)
-            step_items = [items]
-        else:
-            batches = {k: jnp.asarray(np.stack([it[k] for it in host_items]))
-                       for k in batch_keys}
-            ts, items_s = trainer.train_steps_scan(ts, grid, batches, key,
-                                                   opt, spec)
-            items_np = {k: np.asarray(v) for k, v in items_s.items()}
-            step_items = [{k: v[s] for k, v in items_np.items()}
-                          for s in range(chunk)]
+        with timer.phase("device_step"):
+            if chunk == 1:
+                batch = {k: jnp.asarray(host_items[0][k]) for k in batch_keys}
+                ts, items = trainer.train_step(ts, grid, batch, key, opt, spec)
+                step_items = [items]
+            else:
+                batches = {k: jnp.asarray(np.stack([it[k] for it in host_items]))
+                           for k in batch_keys}
+                ts, items_s = trainer.train_steps_scan(ts, grid, batches, key,
+                                                       opt, spec)
+                items_np = {k: np.asarray(v) for k, v in items_s.items()}
+                step_items = [{k: v[s] for k, v in items_np.items()}
+                              for s in range(chunk)]
         total_steps += chunk
 
         if opt.grid_rebuild_every > 0 and opt.xyz_grad > 0 and \
@@ -288,7 +329,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             visualizer.accumulate_losses(
                 {k: float(v) for k, v in items.items()})
         if total_steps % opt.print_freq == 0:
-            visualizer.print_losses(total_steps)
+            visualizer.print_losses(total_steps, extra=timer.summary())
+            timer.reset()
         if opt.save_point_freq > 0 and total_steps % opt.save_point_freq == 0:
             st = trainer.point_state_of(ts)
             visualizer.save_neural_points(
@@ -305,6 +347,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 best_psnr, best_iter = cur, total_steps
 
     # ---------------------------------------------------------------- final
+    trace_ctx.__exit__(None, None, None)
+    prefetcher.close()
     save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
     final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps)
     if final_psnr > best_psnr:
