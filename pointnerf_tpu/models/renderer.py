@@ -67,17 +67,64 @@ def render_shade(agg_params: Dict,
     sample_pidx, sample_loc_w, ray_mask = query_out
 
     # 3. gather neighbor attributes; perspective coords of shading locations
-    g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
     sample_loc = w2pers(sample_loc_w, camrotc2w, campos)
     sample_ray_dirs = jnp.broadcast_to(raydir[:, :, None, :], sample_loc.shape)
 
     # 4. aggregate → per-shading-point [sigma, rgb]
-    decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
-        agg_params, opt,
-        g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
-        g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
-        g["sample_pnt_mask"], sample_loc, sample_loc_w, sample_ray_dirs,
-        spec.vsize, compute_dtype=compute_dtype)
+    SR = sample_loc.shape[2]
+    Nc = int(opt.SR_budget)
+    use_compaction = 0 < Nc < B * R * SR and not prob
+    if use_compaction:
+        # global valid-row compaction: on real scenes most (ray, shading)
+        # rows are empty (the reference exploits this with dynamic-shape
+        # compaction, cu:381-429); here rows with ≥1 neighbor are packed
+        # into a fixed budget so the gathers + aggregator MLP run on Nc
+        # rows instead of B·R·SR. Overflow rows beyond the budget render
+        # empty — size SR_budget to the scene's occupancy.
+        vflat = jnp.any(sample_pidx >= 0, axis=-1).reshape(-1)     # [S]
+        S = vflat.shape[0]
+        cum = jnp.cumsum(vflat.astype(jnp.int32))
+        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
+        comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]      # [Nc]
+        comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
+
+        def compact(a, fill=0):
+            flat = a.reshape((S,) + a.shape[3:])
+            out = flat[comp_src]
+            return jnp.where(
+                comp_valid.reshape((Nc,) + (1,) * (out.ndim - 1)),
+                out, fill).reshape((1, Nc, 1) + a.shape[3:])
+
+        c_pidx = compact(sample_pidx, fill=-1)
+        g = npc.gather_neighbors(point_state, c_pidx, camrotc2w, campos)
+        c_decoded, _, c_weight, c_conf = aggregator_forward(
+            agg_params, opt,
+            g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
+            g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
+            g["sample_pnt_mask"], compact(sample_loc),
+            compact(sample_loc_w), compact(sample_ray_dirs),
+            spec.vsize, compute_dtype=compute_dtype)
+
+        def scatter_back(c):
+            flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[
+                jnp.where(comp_valid, comp_src, S)].set(
+                c.reshape((Nc,) + c.shape[3:]), mode="drop")
+            return flat.reshape((B, R, SR) + c.shape[3:])
+
+        decoded = scatter_back(c_decoded)
+        weight = scatter_back(c_weight)
+        conf_coefficient = scatter_back(c_conf)
+        ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
+        decoded = decoded * ray_valid[..., None].astype(decoded.dtype)
+    else:
+        g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
+        decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
+            agg_params, opt,
+            g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
+            g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
+            g["sample_pnt_mask"], sample_loc, sample_loc_w, sample_ray_dirs,
+            spec.vsize, compute_dtype=compute_dtype)
 
     # 5. ray distances from camera-depth cummax (reference: volumetric model :271-279)
     vz = jnp.float32(spec.vsize[2])

@@ -179,3 +179,33 @@ def test_prune_and_grow_masked():
     np.testing.assert_allclose(np.asarray(grown["xyz"])[new_slots],
                                [[0.0, 0.0, 0.05]] * 5)
     np.testing.assert_allclose(np.asarray(grown["conf"])[new_slots], 0.3)
+
+
+def test_sr_budget_compaction_matches_full():
+    """With a budget >= the number of valid rows, the compacted path must
+    reproduce the full-computation render exactly."""
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    out_full = trainer.eval_step(ts, grid, batch, opt, spec)
+
+    R = batch["raydir"].shape[1]
+    opt_c = opt.replace(SR_budget=R * opt.SR)  # >= any valid count
+    out_c = trainer.eval_step(ts, grid, batch, opt_c, spec)
+    np.testing.assert_allclose(np.asarray(out_c["coarse_raycolor"]),
+                               np.asarray(out_full["coarse_raycolor"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_c["ray_mask"]),
+                                  np.asarray(out_full["ray_mask"]))
+
+    # a tight budget still renders finitely and keeps bg rays at bg color
+    opt_t = opt.replace(SR_budget=64)
+    out_t = trainer.eval_step(ts, grid, batch, opt_t, spec)
+    col = np.asarray(out_t["coarse_raycolor"])
+    assert np.isfinite(col).all()
+
+    # training works through the compacted path
+    gt, _ = make_gt(batch)
+    b2 = dict(batch, gt_image=gt)
+    ts2, items = trainer.train_step(ts, grid, b2, jax.random.PRNGKey(1),
+                                    opt_c, spec)
+    assert np.isfinite(float(items["loss_total"]))
