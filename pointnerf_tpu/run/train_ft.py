@@ -284,8 +284,11 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                      opt.grid_rebuild_every if opt.xyz_grad > 0 else 0):
             if freq > 0:
                 boundaries.append((total_steps // freq + 1) * freq)
-        chunk = max(1, min(opt.steps_per_dispatch,
-                           min(boundaries) - total_steps))
+        to_boundary = min(boundaries) - total_steps
+        # only two program shapes ever compile: the full scan and chunk=1
+        # (a clamped scan length would compile a fresh program per length)
+        chunk = opt.steps_per_dispatch \
+            if to_boundary >= opt.steps_per_dispatch else 1
         with timer.phase("host_data"):
             pulled = [prefetcher.get() for _ in range(chunk)]
         fids = [f for f, _ in pulled]
