@@ -186,6 +186,8 @@ class Options:
     prob_tiers: Tuple[int, ...] = _t(250000)
     far_thresh: float = -1.0
     prob: int = 0
+    prob_mode: int = 0                     # 0: top ray-miss train frames; 1: test frames; else random
+    prob_top: int = 1                      # 1: probe the top-ranked miss frames (reference prob_top)
 
     # ---------------------------------------------------------------- MVS init
     mode: int = 0
@@ -204,6 +206,9 @@ class Options:
     vox_res: int = 0
     resample_pnts: int = -1
     bg_filtering: int = 0
+    far_plane_shift: Optional[float] = None  # push unmatched bg pixels to a far shell
+    comb_file: Optional[str] = None          # extra txt point cloud merged at init
+    mvs_img_wh: Tuple[int, ...] = _t(0, 0)   # MVS-net input size (0 = img_wh)
     num_each_depth: int = 1
     depth_grid: int = 128
 
@@ -368,6 +373,86 @@ def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
     return base.replace(**overrides) if overrides else base
 
 
+def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
+    """ScanNet per-scene finetune (reference: dev_scripts/w_scannet_etf/scene241.sh)."""
+    base = Options(
+        experiment=f"{scan}_tpu", scan=scan, dataset_name="scannet_ft",
+        model="mvs_points_volumetric", load_points=2,
+        img_wh=(640, 480), vox_res=900,
+        prune_thresh=-1.0, prune_iter=-1, default_conf=-1.0,
+        radius_limit_scale=4.0, depth_limit_scale=0.0,
+        vscale=(2, 2, 2), kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        vsize=(0.008, 0.008, 0.008), z_depth_dim=400, max_o=610000,
+        ranges=(-10.0, -10.0, -10.0, 10.0, 10.0, 10.0),
+        SR=24, K=8, P=26, apply_pnt_mask=1,
+        near_plane=0.1, far_plane=8.0, random_sample_size=56,
+        plr=0.002, lr=0.0005,
+        prob_freq=10000, prob_num_step=100,
+        prob_kernel_size=(3.0, 3.0, 3.0, 1.0, 1.0, 1.0),
+        prob_tiers=(40000, 120000), prob_mode=0, prob_thresh=0.7, prob_mul=0.4,
+        bg_color="white", point_features_dim=32,
+        agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
+        point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        maximum_step=200000,
+    )
+    return base.replace(**overrides) if overrides else base
+
+
+_TT_RANGES = {
+    # reference: dev_scripts/w_tt_ft/<scene>.sh `ranges=`
+    "Barn": (-2.05965, -0.48064, -2.2366, 1.78036, 0.6094, 1.28341),
+}
+
+
+def tt_preset(scan: str = "Barn", **overrides) -> Options:
+    """Tanks&Temples per-scene finetune (reference: dev_scripts/w_tt_ft/barn.sh)."""
+    base = Options(
+        experiment=f"{scan}_tpu", scan=scan, dataset_name="tt_ft",
+        model="mvs_points_volumetric",
+        img_wh=(1920, 1080), vox_res=640,
+        prune_thresh=0.1, prune_iter=10001, default_conf=0.15,
+        radius_limit_scale=4.0,
+        vscale=(3, 3, 3), kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        vsize=(0.003, 0.003, 0.003), z_depth_dim=400, max_o=1500000,
+        ranges=_TT_RANGES.get(scan, (-100.0,) * 3 + (100.0,) * 3),
+        SR=40, K=8, P=11,
+        near_plane=0.0 if scan == "Barn" else 0.1, far_plane=4.5,
+        random_sample_size=48, plr=0.002, lr=0.0005,
+        prob_freq=10001, prob_num_step=20, prob_thresh=0.7, prob_mul=0.4,
+        prob_kernel_size=(3.0, 3.0, 3.0), prob_tiers=(90000,),
+        bg_color="white", point_features_dim=32,
+        agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
+        point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        maximum_step=200000,
+    )
+    return base.replace(**overrides) if overrides else base
+
+
+def dtu_gen_preset(**overrides) -> Options:
+    """Generalizable DTU training (reference: dev_scripts/ete/
+    dtu_dgt_d012_img0123_conf_agg2_32_dirclr20.sh)."""
+    base = Options(
+        experiment="dtu_dgt_tpu", dataset_name="dtu",
+        model="mvs_points_volumetric", feedforward=1,
+        img_wh=(640, 512), ref_vid=0, depth_vid="012", trgt_id=3,
+        init_view_num=3, manual_depth_view=1, depth_conf_thresh=0.8,
+        geo_cnsst_num=2, depth_grid=128,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        vscale=(2, 2, 2), kernel_size=(5, 5, 5), query_size=(5, 5, 5),
+        vsize=(0.002, 0.002, 0.002), z_depth_dim=400,
+        SR=40, K=8, P=16, max_o=500000,
+        random_sample_size=56, lr=0.0005, alter_step=0,
+        agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
+        point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        bg_color="black", maximum_step=250000,
+    )
+    return base.replace(**overrides) if overrides else base
+
+
 PRESETS = {
     "nerf_synth": nerf_synth_preset,
+    "scannet": scannet_preset,
+    "tt": tt_preset,
+    "dtu_gen": lambda scan="": dtu_gen_preset(),
 }

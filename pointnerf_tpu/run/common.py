@@ -179,6 +179,13 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
             if rgb is not None and len(rgb) != len(xyz):
                 rgb = None
 
+    if opt.comb_file:
+        # merge an extra txt point cloud (reference: nerf_synth360_ft_dataset
+        # load_init_points comb_file branch, :366-371)
+        extra = np.loadtxt(opt.comb_file, delimiter=";")
+        xyz = np.concatenate([xyz, extra[:, :3].astype(np.float32)], axis=0)
+        rgb = None
+
     ranges = np.asarray(opt.ranges, np.float32)
     if ranges[0] > -99.0:
         keep = np.all((xyz >= ranges[:3]) & (xyz <= ranges[3:]), axis=-1)

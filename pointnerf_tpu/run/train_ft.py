@@ -257,12 +257,22 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         # ------------------------------------------------ grow (reference :844-911)
         if opt.prob_freq > 0 and 0 < total_steps < opt.maximum_step - 1 \
                 and total_steps % opt.prob_freq == 0:
-            if top_miss_loss[0] > 1e-5 or opt.far_thresh > 0:
-                mask = top_miss_loss[:-1] > 0
-                frame_ids = top_miss_ids[:-1][mask][:num_probe]
-                if len(frame_ids) == 0:
+            if top_miss_loss[0] > 1e-5 or opt.prob_mode != 0 or opt.far_thresh > 0:
+                # frame selection (reference probe_hole :440-455 + prob_mode):
+                # 0 + prob_top: top ray-miss train frames; 1: test frames;
+                # otherwise random train frames
+                probe_ds = train_ds
+                if opt.prob_mode == 1:
+                    probe_ds = test_ds
+                    frame_ids = rng.permutation(len(test_ds))[:num_probe]
+                elif opt.prob_mode == 0 and opt.prob_top == 1:
+                    mask = top_miss_loss[:-1] > 0
+                    frame_ids = top_miss_ids[:-1][mask][:num_probe]
+                    if len(frame_ids) == 0:
+                        frame_ids = rng.permutation(len(train_ds))[:num_probe]
+                else:
                     frame_ids = rng.permutation(len(train_ds))[:num_probe]
-                cand = probe_hole(ts, grid, opt, spec, train_ds, frame_ids,
+                cand = probe_hole(ts, grid, opt, spec, probe_ds, frame_ids,
                                   visualizer, total_steps)
                 if cand:
                     before = int(npc.num_active(trainer.point_state_of(ts)))
