@@ -8,7 +8,7 @@ patch/random/random2/no_crop pixel sampling and item packing. Items are numpy
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ Reference: data/dtu_dataset.py — pair-file metas (scan, light, ref, srcs)
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

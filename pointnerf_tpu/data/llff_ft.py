@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict
-
 import numpy as np
 
 from . import register_dataset

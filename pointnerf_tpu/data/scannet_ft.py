@@ -9,7 +9,7 @@ sensor-depth backprojected init points (:420-451).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -59,7 +59,11 @@ class ScannetFtDataset(BaseDataset):
                                  if (i % step) != 0] \
                 if opt.test_num_step != 1 else self.all_id_list
         self.train_id_list = self._remove_blurry(self.train_id_list)
-        self.id_list = self.train_id_list if split == "train" else self.test_id_list
+        # render split = the full valid camera trajectory (reference renders
+        # long ScanNet trajectories through the test machinery)
+        self.id_list = {"train": self.train_id_list,
+                        "render": self.all_id_list}.get(split,
+                                                        self.test_id_list)
         self.view_id_list = []
 
         self.cam2worlds = np.stack([self._load_pose(i) for i in self.id_list]) \
@@ -204,3 +208,10 @@ class ScannetFtDataset(BaseDataset):
             dirs.append(np.asarray(get_dtu_raydir(
                 center, self.intrinsics[0], c2w[:3, :3], True))[0])
         return np.stack(pos), np.stack(dirs)
+
+    def get_dummyrot_item(self, idx: int, rng=None) -> Dict:
+        """Render-split item along the recorded trajectory (no GT needed)."""
+        rng = rng or np.random.RandomState()
+        return self.make_item(None, self.intrinsics[min(idx, len(self.intrinsics) - 1)],
+                              self.cam2worlds[idx], self.opt.near_plane,
+                              self.opt.far_plane, rng, idx, full_img=True)

@@ -8,7 +8,7 @@ bbox.txt scene bounds (:342-367), elliptical render path (:175-196).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

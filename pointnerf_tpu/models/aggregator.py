@@ -13,8 +13,7 @@ init_aggregator_params.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

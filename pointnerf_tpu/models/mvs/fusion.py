@@ -6,7 +6,7 @@ mvs_utils.alpha_masking (:573-605). Pure jax; runs once per scene at init.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

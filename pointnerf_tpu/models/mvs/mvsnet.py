@@ -12,7 +12,7 @@ H/4 feature resolution the reference uses.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ mvs_points_model.py:314 torch.no_grad).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 import jax

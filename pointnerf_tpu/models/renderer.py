@@ -11,7 +11,6 @@ construction.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -8,7 +8,7 @@ else (aggregator params, point buffers, voxel grid, optimizer state) replicates.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ Usage: python -m pointnerf_tpu.run.test_ft --preset nerf_synth:lego \
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax

@@ -16,7 +16,6 @@ Usage: python -m pointnerf_tpu.run.train --dataset_name dtu --data_root <dir> ..
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Dict, NamedTuple, Optional, Tuple
@@ -30,7 +29,7 @@ from ..config import Options
 from ..data import create_dataset
 from ..models import neural_points as npc
 from ..models.aggregator import init_aggregator_params
-from ..models.losses import compute_losses, mse2psnr
+from ..models.losses import compute_losses
 from ..models.mvs import points_model as pm
 from ..models.networks import make_lr_schedule
 from ..models.renderer import render_forward

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import neural_points as npc
 from ..models.aggregator import init_aggregator_params
 from ..models.losses import compute_losses
 from ..models.networks import make_lr_schedule
