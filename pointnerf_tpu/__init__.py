@@ -8,3 +8,15 @@ and reference anchors.
 __version__ = "0.1.0"
 
 from .config import Options, nerf_synth_preset  # noqa: F401
+
+# Persistent XLA compilation cache: TPU compiles of the full train step run
+# tens of seconds (worse through a remote compile service); cache them across
+# processes. Set JAX_COMPILATION_CACHE_DIR to override, empty to disable.
+import os as _os
+
+_cache = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.expanduser("~/.cache/pointnerf_tpu_jax"))
+if _cache:
+    _os.makedirs(_cache, exist_ok=True)
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")

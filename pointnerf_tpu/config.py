@@ -232,6 +232,7 @@ class Options:
     compute_dtype: str = "float32"         # float32 | bfloat16 for the aggregator MLP
     steps_per_dispatch: int = 8            # train steps fused into one device dispatch
     query_max_voxels: int = 14             # cull KNN candidate voxels to T nearest centers (0=all)
+    superset_P: int = 0                    # >0: precomputed per-voxel neighborhood supersets (fast query)
     profile_dir: str = ""                  # capture a jax.profiler trace of the train loop here
     prefetch_depth: int = 2                # host batches prepared ahead of the device
     remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)
@@ -369,6 +370,7 @@ def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
         shpnt_jitter="uniform",
         apply_pnt_mask=1,
         raydist_mode_unit=1,
+        superset_P=32,
     )
     return base.replace(**overrides) if overrides else base
 

@@ -44,6 +44,7 @@ class GridSpec:
     radius_limit: float                      # neighbor radius cap (world units); 0 = off
     vsize: Tuple[float, float, float]        # unscaled voxel size (for shading dists)
     query_max_voxels: int = 0                # cull neighbor voxels to T nearest (0 = off)
+    superset_P: int = 0                      # per-voxel neighborhood superset size (0 = off)
 
     @property
     def grid_size_vol(self) -> int:
@@ -85,6 +86,7 @@ def make_grid_spec(opt, points_min=None, points_max=None, max_points: int = 0) -
         radius_limit=float(opt.radius_limit),
         vsize=tuple(float(v) for v in vsize),
         query_max_voxels=int(getattr(opt, "query_max_voxels", 0)),
+        superset_P=int(getattr(opt, "superset_P", 0)),
     )
 
 
@@ -183,7 +185,7 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
         window_dimensions=q, window_strides=(1, 1, 1),
         padding=pads).reshape(-1)
 
-    return {
+    out = {
         "coor_2_occ": coor_2_occ,
         "occ_2_pnts": occ_2_pnts,
         "occ_2_xyz": occ_2_xyz,
@@ -191,3 +193,72 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
         "coor_occ": coor_occ,
         "num_occ": num_occ,
     }
+
+    # ---------------------------------------------------------- supersets
+    # Per occupied voxel: the superset_P nearest-to-center candidates from its
+    # kernel_size³ neighborhood, as one contiguous [P2,4] (x,y,z,idx) row.
+    # Amortizes the query's per-sample 27-tile gather into ONE row gather —
+    # the neighborhood union is computed once per grid rebuild (init/prune/
+    # grow), not once per (sample, step). `coor_slot` maps EVERY dilated voxel
+    # to a nearby occupied slot so samples in empty-but-dilated voxels index a
+    # superset too (their window shifts by ≤ the dilation radius).
+    if spec.superset_P > 0:
+        P2 = spec.superset_P
+        # voxel coords per occupied slot
+        occ_coords = jnp.zeros((spec.max_o, 3), jnp.int32)
+        occ_coords = occ_coords.at[jnp.where(keep & head, slot, spec.max_o)].set(
+            coords[order], mode="drop")
+
+        kx = spec.kernel_size[0]
+        lx = (kx + 1) // 2 - 1
+        offs = np.stack(np.meshgrid(
+            np.arange(-lx, lx + 1), np.arange(-lx, lx + 1),
+            np.arange(-lx, lx + 1), indexing="ij"),
+            axis=-1).reshape(-1, 3).astype(np.int32)
+        O = offs.shape[0]
+        vdim_j = jnp.asarray(spec.vdim, jnp.int32)
+        mn_j = jnp.asarray(spec.ranges_min, jnp.float32)
+        vs_j = jnp.asarray(spec.scaled_vsize, jnp.float32)
+        flat_tiles = occ_2_xyz.reshape(spec.max_o, spec.P * 4)
+
+        def build_block(slots):
+            cc = occ_coords[slots]                              # [BS,3]
+            nb = cc[:, None, :] + jnp.asarray(offs)             # [BS,O,3]
+            nb_in = jnp.all((nb >= 0) & (nb < vdim_j), axis=-1)
+            nb_lin = jnp.where(nb_in, linearize(nb, spec), 0)
+            nb_slot = jnp.where(nb_in, coor_2_occ[nb_lin], -1)  # [BS,O]
+            rows = flat_tiles[jnp.maximum(nb_slot, 0).reshape(-1)]
+            rows = rows.reshape(-1, O, spec.P, 4)
+            center = (cc.astype(jnp.float32) + 0.5) * vs_j + mn_j
+            d2 = jnp.sum(jnp.square(rows[..., :3]
+                                    - center[:, None, None, :]), axis=-1)
+            bad = (nb_slot[..., None] < 0) | (d2 > 1.0e15)
+            d2 = jnp.where(bad, 3.0e38, d2).reshape(-1, O * spec.P)
+            rows = rows.reshape(-1, O * spec.P, 4)
+            neg, arg = jax.lax.top_k(-d2, P2)
+            sel = jnp.take_along_axis(rows, arg[..., None], axis=1)
+            return jnp.where((-neg < 1.0e15)[..., None], sel, 1.0e8)
+
+        n_blocks = 8
+        blk = -(-spec.max_o // n_blocks)
+        slots_padded = jnp.arange(n_blocks * blk, dtype=jnp.int32) % spec.max_o
+        super_xyz = jax.lax.map(build_block,
+                                slots_padded.reshape(n_blocks, blk))
+        out["super_xyz"] = super_xyz.reshape(-1, P2, 4)[: spec.max_o]
+
+        # dilated voxel -> nearby occupied slot (same window as coor_occ)
+        slot_map = jnp.full((vol,), -1, dtype=jnp.int32)
+        slot_map = slot_map.at[scat_lin].set(
+            jnp.where(keep & head, slot, -1), mode="drop").reshape(spec.vdim)
+        q = spec.query_size
+        pads = tuple(((qq - 1) // 2, qq // 2) for qq in q)
+        dil = jax.lax.reduce_window(
+            slot_map, jnp.int32(-1), jax.lax.max,
+            window_dimensions=q, window_strides=(1, 1, 1),
+            padding=pads).reshape(-1)
+        # occupied voxels use their OWN superset; only empty-but-dilated
+        # voxels adopt a neighbor's
+        out["coor_slot"] = jnp.where(slot_map.reshape(-1) >= 0,
+                                     slot_map.reshape(-1), dil)
+
+    return out

@@ -67,6 +67,43 @@ def select_shading_points(raypos: jnp.ndarray, raypos_valid: jnp.ndarray, SR: in
     return sample_loc, mask
 
 
+def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
+                           grid, spec: GridSpec, K: int) -> jnp.ndarray:
+    """Superset-bucket KNN: ONE row gather per shading point.
+
+    Uses grid["coor_slot"] (dilated voxel → nearby occupied slot) and
+    grid["super_xyz"] (per occupied voxel: the superset_P nearest-to-center
+    (x,y,z,idx) candidates from its kernel³ neighborhood, precomputed at grid
+    build). Per-step cost drops from O(samples·27) random reads to
+    O(samples); the neighborhood union is amortized over the grid lifetime.
+    For samples in empty-but-dilated voxels the candidate window is the
+    adopted neighbor voxel's — shifted by ≤ the dilation radius (the
+    reference's shell-order truncation is a comparable approximation).
+    """
+    B, R, SR, _ = sample_loc.shape
+    P2 = spec.superset_P
+    BIG = jnp.float32(3.0e38)
+
+    coords, inb = voxel_coords(sample_loc, spec)
+    lin = jnp.where(inb, linearize(coords, spec), 0)
+    slot = jnp.where(inb & sample_mask, grid["coor_slot"][lin], -1)  # [B,R,SR]
+
+    rows = grid["super_xyz"].reshape(spec.max_o, P2 * 4)[
+        jnp.maximum(slot, 0).reshape(-1)].reshape(B, R, SR, P2, 4)
+    cxyz = rows[..., :3]
+    cand_idx = rows[..., 3].astype(jnp.int32)
+    d2 = jnp.sum(jnp.square(cxyz - sample_loc[..., None, :]), axis=-1)
+    valid = (slot[..., None] >= 0) & (d2 < 1.0e15)
+    if spec.radius_limit > 0:
+        valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
+    d2 = jnp.where(valid, d2, BIG)
+
+    neg_top, arg = jax.lax.top_k(-d2, K)
+    best_d = -neg_top
+    best_i = jnp.take_along_axis(cand_idx, arg, axis=-1)
+    return jnp.where(best_d < BIG, best_i, -1)
+
+
 def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
                   xyz: jnp.ndarray, grid, spec: GridSpec, K: int) -> jnp.ndarray:
     """For each shading point find K nearest neural points in the kernel neighborhood.
@@ -152,7 +189,12 @@ def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
     """
     rp_valid = mask_raypos(raypos, grid, spec)
     sample_loc_w, sample_mask = select_shading_points(raypos, rp_valid, SR)
-    sample_pidx = knn_neighbors(sample_loc_w, sample_mask, xyz, grid, spec, K)
+    if spec.superset_P > 0:
+        sample_pidx = knn_neighbors_superset(sample_loc_w, sample_mask, grid,
+                                             spec, K)
+    else:
+        sample_pidx = knn_neighbors(sample_loc_w, sample_mask, xyz, grid,
+                                    spec, K)
     # a ray stays valid only if at least one shading point found a neighbor (cu:425-427)
     ray_mask = jnp.any(sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
     return sample_pidx, sample_loc_w, ray_mask

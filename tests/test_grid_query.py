@@ -170,3 +170,68 @@ def test_full_query_ray_mask():
     assert rm[0, 0] and not rm[0, 1]
     assert np.any(np.asarray(pidx)[0, 0] == 0)
     assert np.all(np.asarray(pidx)[0, 1] == -1)
+
+
+def test_superset_query_matches_direct_when_capacity_suffices():
+    """With superset_P >= all neighborhood candidates and samples in occupied
+    voxels, the superset path must pick the same neighbor sets as the direct
+    27-tile query."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pointnerf_tpu.config import Options
+    from pointnerf_tpu.ops.grid import make_grid_spec, build_grid
+    from pointnerf_tpu.ops import query as Q
+
+    rng = np.random.RandomState(0)
+    n = 600
+    xyz = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    opt = Options(vsize=(0.1, 0.1, 0.1), vscale=(1, 1, 1),
+                  kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+                  max_o=4096, P=16, K=4, radius_limit_scale=4.0,
+                  query_max_voxels=0)
+    spec_d = make_grid_spec(opt, xyz.min(0), xyz.max(0), n)
+    spec_s = make_grid_spec(opt.replace(superset_P=256), xyz.min(0),
+                            xyz.max(0), n)
+    mask = jnp.ones((n,), bool)
+    xyz_j = jnp.asarray(xyz)
+    grid_d = build_grid(xyz_j, mask, spec_d)
+    grid_s = build_grid(xyz_j, mask, spec_s)
+
+    # shading samples AT point positions (guaranteed occupied voxels)
+    sl = jnp.asarray(xyz[:128].reshape(1, 16, 8, 3))
+    sm = jnp.ones((1, 16, 8), bool)
+    pid_d = np.asarray(Q.knn_neighbors(sl, sm, xyz_j, grid_d, spec_d, 4))
+    pid_s = np.asarray(Q.knn_neighbors_superset(sl, sm, grid_s, spec_s, 4))
+    # compare as sets per sample (tie order may differ)
+    same = 0
+    total = 0
+    for a, b in zip(pid_d.reshape(-1, 4), pid_s.reshape(-1, 4)):
+        total += 1
+        same += set(a.tolist()) == set(b.tolist())
+    assert same / total > 0.99, same / total
+
+
+def test_superset_build_shapes():
+    import numpy as np
+    import jax.numpy as jnp
+    from pointnerf_tpu.config import Options
+    from pointnerf_tpu.ops.grid import make_grid_spec, build_grid
+
+    rng = np.random.RandomState(1)
+    xyz = rng.uniform(-0.4, 0.4, (500, 3)).astype(np.float32)
+    opt = Options(vsize=(0.1, 0.1, 0.1), vscale=(1, 1, 1),
+                  kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+                  max_o=1024, P=8, superset_P=32)
+    spec = make_grid_spec(opt, xyz.min(0), xyz.max(0), 500)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones((500,), bool), spec)
+    assert grid["super_xyz"].shape == (1024, 32, 4)
+    assert grid["coor_slot"].shape == (spec.grid_size_vol,)
+    # every dilated-occupied voxel maps to a valid slot
+    cs = np.asarray(grid["coor_slot"])
+    co = np.asarray(grid["coor_occ"])
+    assert ((cs >= 0) == (co > 0)).all()
+    # superset rows hold real candidates: idx channel within range or padding
+    sx = np.asarray(grid["super_xyz"])
+    idx = sx[..., 3]
+    real = sx[..., 0] < 1e7
+    assert ((idx[real] >= 0) & (idx[real] < 500)).all()

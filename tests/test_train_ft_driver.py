@@ -102,3 +102,13 @@ def test_vox_downsample():
     vsize = (xyz.max(0) - xyz.min(0)).max() / 8
     kcoords = np.floor((xyz[idx] - xyz.min(0)) / vsize).astype(int)
     assert len(np.unique(kcoords, axis=0)) == len(kept)
+
+
+def test_train_ft_superset_query_quality(scene_root, tmp_path):
+    """The superset-bucket query must train to comparable quality."""
+    opt = tiny_train_opt(scene_root, str(tmp_path), maximum_step=200,
+                         prune_iter=0, prob_freq=0, save_iter_freq=200,
+                         save_point_freq=0, test_freq=0,
+                         experiment="plate_superset", superset_P=64)
+    result = train_ft.main(opt)
+    assert result["final_psnr"] > 16.0, result["final_psnr"]
