@@ -181,12 +181,22 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
     safe = jnp.maximum(sample_pidx, 0).reshape(-1)  # flat 1-D: fast gather path
     pnt_mask = sample_pidx >= 0
 
-    def take(buf):
-        if buf is None:
-            return None
-        return buf[safe].reshape(shape + buf.shape[1:])
+    # pack all per-point attributes into ONE [N, C] row table and gather once:
+    # five separate gathers (and five backward scatter-adds) cost ~5x one —
+    # gather time is row-count-bound, not byte-bound, on TPU. Gradients flow
+    # through the concat back to each trainable buffer.
+    parts = [("xyz", 3), ("embedding", state["embedding"].shape[1])]
+    for k in ("color", "dir", "conf"):
+        if state[k] is not None:
+            parts.append((k, state[k].shape[1]))
+    packed = jnp.concatenate([state[k] for k, _ in parts], axis=1)
+    rows = packed[safe].reshape(shape + (packed.shape[1],))
+    split, off = {}, 0
+    for k, w in parts:
+        split[k] = rows[..., off:off + w]
+        off += w
 
-    xyz = take(state["xyz"])                       # [B,R,SR,K,3]
+    xyz = split["xyz"]                             # [B,R,SR,K,3]
     shift = xyz - campos.reshape(B, 1, 1, 1, 3)
     rot_t = jnp.swapaxes(camrotc2w, -1, -2).reshape(B, 1, 1, 1, 3, 3)
     xyz_c = jnp.sum(shift[..., None, :] * rot_t, axis=-1)
@@ -201,10 +211,10 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
     out = {
         "sampled_xyz": xyz,
         "sampled_xyz_pers": xyz_pers,
-        "sampled_embedding": take(state["embedding"]),
-        "sampled_color": take(state["color"]),
-        "sampled_dir": take(state["dir"]),
-        "sampled_conf": take(state["conf"]),
+        "sampled_embedding": split["embedding"],
+        "sampled_color": split.get("color"),
+        "sampled_dir": split.get("dir"),
+        "sampled_conf": split.get("conf"),
         "sample_pnt_mask": pnt_mask,
         "Rw2c": rw2c,
     }
