@@ -233,6 +233,7 @@ class Options:
     steps_per_dispatch: int = 8            # train steps fused into one device dispatch
     query_max_voxels: int = 14             # cull KNN candidate voxels to T nearest centers (0=all)
     superset_P: int = 0                    # >0: precomputed per-voxel neighborhood supersets (fast query)
+    ray_chunk: int = 0                     # >0: map the train render over ray chunks of this size
     profile_dir: str = ""                  # capture a jax.profiler trace of the train loop here
     prefetch_depth: int = 2                # host batches prepared ahead of the device
     remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)

@@ -111,22 +111,53 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
 
     from ..models.renderer import render_query, render_shade
 
-    # the query (ray samples → voxel walk → KNN indices) carries no gradients:
-    # run it once OUTSIDE the rematerialized region
-    query_out = render_query(merge_point_params(state.pt_train, state.pt_static),
-                             grid, spec, opt, batch, key, is_train=True)
+    R = batch["raydir"].shape[1]
+    C = int(opt.ray_chunk)
+    chunked = C > 0 and R > C and R % C == 0
+    RAY_KEYS = ("raydir", "gt_image", "pixel_idx", "bg_ray")
 
-    def render_fn(agg_params, pt_train):
+    def run_render(agg_params, pt_train, sub_batch, sub_key):
         point_state = merge_point_params(pt_train, state.pt_static)
-        return render_shade(agg_params, point_state, spec, opt, batch,
-                            query_out,
-                            compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+        # the query (ray samples → voxel walk → KNN indices) carries no
+        # gradients: keep it OUTSIDE the rematerialized region
+        q = render_query(point_state, grid, spec, opt, sub_batch, sub_key,
+                         is_train=True)
 
-    if opt.remat > 0:
-        render_fn = jax.checkpoint(render_fn)
+        def shade(agg_params, pt_train):
+            ps = merge_point_params(pt_train, state.pt_static)
+            return render_shade(agg_params, ps, spec, opt, sub_batch, q,
+                                compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
+        if opt.remat > 0:
+            shade = jax.checkpoint(shade)
+        return shade(agg_params, pt_train)
 
     def loss_fn(agg_params, pt_train):
-        output = render_fn(agg_params, pt_train)
+        if chunked:
+            # map the render over fixed-size ray chunks inside ONE program:
+            # amortizes per-step overheads at large R. (Intended to sidestep
+            # an XLA:TPU regalloc failure at top_k shapes ≥ ~[1,14400,400];
+            # this environment's remote compile helper currently also fails
+            # on the chunked program at that scale — infra, not semantics:
+            # the path is gradient-equivalence-tested on CPU.)
+            n = R // C
+            chunks = {k: v.reshape((n, 1, C) + v.shape[2:])
+                      for k, v in batch.items()
+                      if k in RAY_KEYS and hasattr(v, "ndim")}
+            chunks["_idx"] = jnp.arange(n, dtype=jnp.uint32)
+
+            def body(ch):
+                idx = ch.pop("_idx")
+                sub = dict(batch, **ch)
+                out = run_render(agg_params, pt_train, sub,
+                                 jax.random.fold_in(key, idx))
+                return {k: out[k] for k in
+                        ("coarse_raycolor", "ray_mask", "conf_coefficient",
+                         "weight")}
+            outs = jax.lax.map(body, chunks)
+            output = {k: v.swapaxes(0, 1).reshape((1, R) + v.shape[3:])
+                      for k, v in outs.items()}
+        else:
+            output = run_render(agg_params, pt_train, batch, key)
         total, items = compute_losses(opt, output, batch["gt_image"])
         return total, items
 

@@ -209,3 +209,34 @@ def test_sr_budget_compaction_matches_full():
     ts2, items = trainer.train_step(ts, grid, b2, jax.random.PRNGKey(1),
                                     opt_c, spec)
     assert np.isfinite(float(items["loss_total"]))
+
+
+def test_ray_chunked_grads_match_unchunked():
+    """Chunked-render training (ray_chunk) must reproduce unchunked gradients."""
+    opt, state, spec, grid, batch, xyz = tiny_setup(R_side=8)  # R=64
+    gt, _ = make_gt(batch)
+    batch = dict(batch, gt_image=gt)
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    key = jax.random.PRNGKey(5)
+
+    items_a, gn_a, gp_a = trainer.compute_grads(ts, grid, batch, key, opt, spec)
+    opt_c = opt.replace(ray_chunk=16)
+    items_b, gn_b, gp_b = trainer.compute_grads(ts, grid, batch, key, opt_c,
+                                                spec)
+    # per-chunk rng differs (fold_in per chunk), so compare loss magnitudes
+    # loosely and grads by norm ratio
+    a = float(items_a["loss_ray_masked_coarse_raycolor"])
+    b = float(items_b["loss_ray_masked_coarse_raycolor"])
+    assert abs(a - b) / max(a, 1e-6) < 0.25, (a, b)
+    na = np.linalg.norm(np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(gn_a)]))
+    nb = np.linalg.norm(np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(gn_b)]))
+    assert 0.5 < nb / na < 2.0, (na, nb)
+
+    # deterministic check: jitter off (is_train uses 0.3 jitter... compare eval
+    # path instead) — train a few chunked steps and require loss decrease
+    cur = ts
+    for i in range(30):
+        cur, items = trainer.train_step(cur, grid, batch, key, opt_c, spec)
+    assert float(items["loss_ray_masked_coarse_raycolor"]) < a * 0.8
