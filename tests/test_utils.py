@@ -136,3 +136,36 @@ def test_torch_import(tmp_path):
     np.testing.assert_allclose(np.asarray(agg["block1"][0]["w"]),
                                np.asarray(ts.agg_params["block1"][0]["w"]), rtol=1e-6)
     assert pts["xyz"].shape == np.asarray(state["xyz"]).shape
+
+
+def test_kill_resume_bitwise_equivalence(tmp_path):
+    """Checkpoint at step 10, restore into a fresh state, continue to step 20:
+    parameters must match the uninterrupted 20-step run bitwise (per-step rng
+    folds from state.step, so training is resume-deterministic — the
+    reference cannot do this: it never saves optimizer state)."""
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    from test_end_to_end import make_gt
+    gt, _ = make_gt(batch)
+    batch = dict(batch, gt_image=gt)
+    key = jax.random.PRNGKey(3)
+
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    # uninterrupted
+    cur = ts
+    for _ in range(20):
+        cur, _ = trainer.train_step(cur, grid, batch, key, opt, spec)
+
+    # interrupted at 10
+    half = ts
+    for _ in range(10):
+        half, _ = trainer.train_step(half, grid, batch, key, opt, spec)
+    d = str(tmp_path)
+    C.save_checkpoint(d, 10, half, opt)
+    template = trainer.create_train_state(opt, jax.random.PRNGKey(99), state)
+    restored, counters = C.load_checkpoint(d, template)
+    assert counters["total_steps"] == 10
+    for _ in range(10):
+        restored, _ = trainer.train_step(restored, grid, batch, key, opt, spec)
+
+    for a, b in zip(jax.tree.leaves(cur), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
