@@ -371,6 +371,14 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         f"final PSNR {final_psnr:.3f}, best {best_psnr:.3f}@{best_iter}")
     img_dir = os.path.join(visualizer.image_dir, f"test_{total_steps}")
     scores = report_metrics(img_dir, img_dir, img_dir, ("psnr", "ssim", "rmse"))
+    if opt.gen_vid:
+        # final video over the render path (reference: train_ft.py:1014-1033)
+        try:
+            from .render_vid import render_vid
+            render_ds = create_dataset(opt, split="render")
+            render_vid(ts, grid, opt, spec, render_ds, visualizer, total_steps)
+        except Exception as e:  # dataset may not define a render path
+            visualizer.print_details(f"gen_vid skipped: {e}")
     return {"total_steps": total_steps, "final_psnr": final_psnr,
             "best_psnr": best_psnr, "best_iter": best_iter, "scores": scores,
             "state": ts, "grid": grid, "spec": spec}
