@@ -21,7 +21,12 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 40000.0
 
 
-def main():
+def make_workload(**overrides):
+    """Bench scene + state: lego-preset step on a synthetic ~100k-point cloud.
+
+    Returns (opt, state, spec, grid, train_state, batch). Shared with
+    scripts/perf_breakdown.py so phase timings measure the exact bench workload.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -30,10 +35,12 @@ def main():
     from pointnerf_tpu.ops.grid import make_grid_spec, build_grid
     from pointnerf_tpu.train import trainer
 
-    opt = nerf_synth_preset("lego").replace(
+    kw = dict(
         max_o=280000,          # ~100k-point synthetic cloud occupies fewer voxels
         random_sample_size=60,
     )
+    kw.update(overrides)
+    opt = nerf_synth_preset("lego").replace(**kw)
 
     rng = np.random.RandomState(0)
     n_points = 100_000
@@ -71,6 +78,17 @@ def main():
         "bg_color": jnp.ones((1, 3), jnp.float32),
         "gt_image": jnp.asarray(rng.uniform(0, 1, (1, R, 3)).astype(np.float32)),
     }
+    return opt, state, spec, grid, ts, batch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pointnerf_tpu.train import trainer
+
+    opt, state, spec, grid, ts, batch = make_workload()
+    R = opt.random_sample_size ** 2
 
     key = jax.random.PRNGKey(1)
     # production path: steps_per_dispatch scan steps per device dispatch

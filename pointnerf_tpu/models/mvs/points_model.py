@@ -82,15 +82,59 @@ def homo_warp_nongrid(c2w_ref, w2c_src, intrinsic, cam_xyz, H, W):
     return grid, mask
 
 
+def homo_warp_nongrid_occ(c2w_ref, w2c_src, intrinsic, cam_xyz, H, W,
+                          tolerate: float = 0.1):
+    """Occlusion-aware projection with a per-pixel z-buffer.
+
+    Reference: mvs_utils.homo_warp_nongrid_occ (:333-369), which builds the
+    z-buffer with torch_scatter.scatter_min on a CPU round-trip; here it is a
+    deterministic on-device scatter-min over the W*H pixel cells. A point is
+    kept only if its source-camera depth is within `tolerate` of the minimum
+    depth projecting into the same (ceil) pixel cell — points seen through an
+    occluder are masked out. Static shapes: occluded points are masked, not
+    compacted.
+    """
+    ones = jnp.ones_like(cam_xyz[:, :1])
+    if w2c_src is not None:
+        hom = jnp.concatenate([cam_xyz, ones], axis=-1)
+        src = (hom @ c2w_ref.T @ w2c_src.T)[:, :3]
+    else:
+        src = cam_xyz
+    z = src[:, 2]
+    pix = (src / jnp.maximum(jnp.abs(src[:, 2:3]), 1e-9)
+           * jnp.sign(src[:, 2:3])) @ intrinsic.T
+    xy = pix[:, :2]
+    hard = jnp.ceil(xy)
+    inb = (xy[:, 0] >= 0) & (hard[:, 0] <= W - 1) & \
+        (xy[:, 1] >= 0) & (hard[:, 1] <= H - 1) & (z > 1e-9)
+    # cell id = ceil(x)*H + ceil(y), as in the reference (:356)
+    cell = (hard[:, 0] * H + hard[:, 1]).astype(jnp.int32)
+    cell = jnp.where(inb, cell, W * H)                       # OOB → dropped
+    BIG = jnp.float32(3.0e38)
+    zbuf = jnp.full((W * H,), BIG, jnp.float32).at[cell].min(
+        z.astype(jnp.float32), mode="drop")
+    zmin = zbuf[jnp.clip(cell, 0, W * H - 1)]
+    mask = inb & (z <= zmin + tolerate)
+    grid = jnp.stack([xy[:, 0] / ((W - 1) / 2.0) - 1.0,
+                      xy[:, 1] / ((H - 1) / 2.0) - 1.0], axis=-1)
+    return grid, mask
+
+
 def extract_2d(img_feats: Sequence[jnp.ndarray], view_ids, layer_ids,
-               intrinsics, c2ws, w2cs, cam_xyz, H, W, cam_vid: int):
+               intrinsics, c2ws, w2cs, cam_xyz, H, W, cam_vid: int,
+               depth_occ: int = 0):
     """Sample per-view 2D feature pyramids at projected point locations
-    (reference: extract_2d :198-218). Returns (feats [N,F], colors [N,3V'])."""
+    (reference: extract_2d :198-218; with --depth_occ the projection is
+    z-buffer-filtered, reference :203). Returns (feats [N,F], colors [N,3V'])."""
     feats, colors = [], []
     for vid in view_ids:
         w2c = None if vid == cam_vid else w2cs[vid]
-        grid, mask = homo_warp_nongrid(c2ws[cam_vid], w2c, intrinsics[vid],
-                                       cam_xyz, H, W)
+        if depth_occ > 0:
+            grid, mask = homo_warp_nongrid_occ(
+                c2ws[cam_vid], w2c, intrinsics[vid], cam_xyz, H, W)
+        else:
+            grid, mask = homo_warp_nongrid(c2ws[cam_vid], w2c,
+                                           intrinsics[vid], cam_xyz, H, W)
         m = mask[:, None].astype(cam_xyz.dtype)
         for lid in layer_ids:
             feat = img_feats[lid][vid]                 # [C,h,w]
@@ -130,7 +174,8 @@ def query_embedding(params: Dict, opt, img_feats, cam_xyz: jnp.ndarray,
             _, vids, lids = feat_str.split("_")
             feats, colors = extract_2d(
                 img_feats, [int(a) for a in vids], [int(a) for a in lids],
-                intrinsics, c2ws, w2cs, cam_xyz, H, W, cam_vid)
+                intrinsics, c2ws, w2cs, cam_xyz, H, W, cam_vid,
+                depth_occ=opt.depth_occ)
             emb_parts.append(feats)
         elif feat_str.startswith("dir"):
             _, vids = feat_str.split("_")

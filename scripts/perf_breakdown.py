@@ -1,0 +1,120 @@
+"""Per-phase step-time breakdown of the bench workload on the current backend.
+
+Times, each as a lax.scan of S iterations inside ONE dispatch (per-iteration
+key folds vary the jittered ray samples so XLA cannot hoist the work out of
+the loop), with a host scalar fetch as the completion barrier:
+
+  query   raygen + voxel walk + shading-point compaction + KNN (render_query)
+  forward full render (query + gather + aggregator MLP + ray march)
+  grads   forward + loss + backward
+  step    grads + dual Adam updates (the full train step)
+
+Run:  python scripts/perf_breakdown.py [--iters 8] [--rays 3600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def timed(label: str, fn, S: int):
+    """fn: () -> scalar jax array (depends on the full chain). Returns ms/iter."""
+    out = fn()
+    float(out)  # compile + honest completion barrier
+    t0 = time.perf_counter()
+    out = fn()
+    v = float(out)
+    dt = time.perf_counter() - t0
+    ms = dt / S * 1000.0
+    print(f"{label:>10}: {ms:8.2f} ms/iter   (scalar={v:.4g})")
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--rays", type=int, default=3600)
+    ap.add_argument("--sr-budget", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import make_workload
+    from pointnerf_tpu.models.renderer import render_forward, render_query
+    from pointnerf_tpu.train import trainer
+
+    import math
+    rss = int(math.isqrt(args.rays))
+    assert rss * rss == args.rays, "--rays must be a perfect square"
+    over = {"random_sample_size": rss}
+    if args.sr_budget:
+        over["SR_budget"] = args.sr_budget
+    opt, state, spec, grid, ts, batch = make_workload(**over)
+    R = args.rays
+    S = args.iters
+    key0 = jax.random.PRNGKey(7)
+    print(f"backend={jax.default_backend()} R={R} SR={opt.SR} K={opt.K} "
+          f"D={opt.z_depth_dim} superset_P={spec.superset_P} "
+          f"SR_budget={opt.SR_budget} iters/scan={S}")
+
+    point_state = trainer.point_state_of(ts)
+
+    @jax.jit
+    def query_scan():
+        def body(c, i):
+            q = render_query(point_state, grid, spec, opt, batch,
+                             jax.random.fold_in(key0, i), is_train=True)
+            return c + jnp.sum(q[0]) + jnp.sum(q[1]), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(S))
+        return c
+
+    @jax.jit
+    def fwd_scan():
+        def body(c, i):
+            out = render_forward(ts.agg_params, point_state, grid, spec, opt,
+                                 batch, jax.random.fold_in(key0, i),
+                                 is_train=True)
+            return c + jnp.sum(out["coarse_raycolor"]), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(S))
+        return c
+
+    @jax.jit
+    def grads_scan():
+        def body(c, i):
+            items, g_net, g_pts = trainer.compute_grads_impl(
+                ts, grid, batch, jax.random.fold_in(key0, i), opt, spec)
+            leaves = [jnp.sum(l) for l in jax.tree.leaves(g_net)]
+            return c + items["loss_total"] + sum(leaves), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(S))
+        return c
+
+    def step_scan():
+        batches = {k: (jnp.stack([v] * S) if hasattr(v, "ndim")
+                       else jnp.full((S,), v, jnp.float32))
+                   for k, v in batch.items()}
+        new_ts, items = trainer.train_steps_scan(ts, grid, batches, key0, opt,
+                                                 spec)
+        return items["loss_total"][-1]
+
+    t_query = timed("query", query_scan, S)
+    t_fwd = timed("forward", fwd_scan, S)
+    t_grads = timed("grads", grads_scan, S)
+    t_step = timed("step", step_scan, S)
+
+    print(json.dumps({
+        "rays": R, "ms_query": round(t_query, 2), "ms_forward": round(t_fwd, 2),
+        "ms_shade_fwd": round(t_fwd - t_query, 2),
+        "ms_backward": round(t_grads - t_fwd, 2),
+        "ms_adam": round(t_step - t_grads, 2),
+        "ms_step": round(t_step, 2),
+        "rays_per_sec": round(R / t_step * 1000.0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,83 @@ def test_depth2point_roundtrip():
     np.testing.assert_allclose(pix[..., 1], py, atol=1e-3)
 
 
+def numpy_homo_warp_nongrid_occ(c2w, w2c, intrinsic, ref_cam_xyz, HD, WD,
+                                tolerate=0.1):
+    """Verbatim re-expression of reference mvs_utils.py:333-369 semantics
+    (z-buffer via scatter_min over ceil-pixel cells), masks kept full-size."""
+    M = ref_cam_xyz.shape[0]
+    if w2c is not None:
+        hom = np.concatenate([ref_cam_xyz, np.ones((M, 1), np.float32)], -1)
+        src = (hom @ c2w.T @ w2c.T)[:, :3]
+    else:
+        src = ref_cam_xyz
+    grid_xy = (src / src[:, 2:3] @ intrinsic.T)[:, :2]
+    mask = (grid_xy >= 0).all(-1) & \
+        (np.ceil(grid_xy) <= np.array([WD - 1, HD - 1])).all(-1)
+    cam_z = src[:, 2]
+    hard = np.ceil(grid_xy)
+    index = (hard[:, 0] * HD + hard[:, 1]).astype(np.int64)
+    zbuf = np.full(WD * HD, np.inf, np.float32)
+    for i in range(M):
+        if mask[i]:
+            zbuf[index[i]] = min(zbuf[index[i]], cam_z[i])
+    block = np.zeros(M, bool)
+    block[mask] = cam_z[mask] <= zbuf[index[mask]] + tolerate
+    return mask & block
+
+
+def test_homo_warp_nongrid_occ_parity():
+    """JAX scatter-min z-buffer vs the reference's torch_scatter semantics."""
+    H, W = 24, 30
+    K = np.array([[25.0, 0, 14], [0, 25.0, 11], [0, 0, 1]], np.float32)
+    ang = 0.15
+    Rm = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                   [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = Rm
+    w2c[:3, 3] = [0.1, -0.05, 0.2]
+    c2w_ref = np.eye(4, dtype=np.float32)  # ref cam frame == world
+
+    # random points, including duplicates along shared lines of sight so the
+    # z-buffer actually rejects some
+    pts = RNG.uniform([-1.2, -1.0, 2.0], [1.2, 1.0, 6.0],
+                      (400, 3)).astype(np.float32)
+    near = pts[:150].copy()
+    far = near * np.array([1.0, 1.0, 1.0]) + 0
+    far = near / near[:, 2:3] * (near[:, 2:3] + RNG.uniform(0.3, 2.0, (150, 1)))
+    pts = np.concatenate([pts, far.astype(np.float32)], 0)
+
+    want = numpy_homo_warp_nongrid_occ(c2w_ref, w2c, K, pts, H, W)
+    _, got = pm.homo_warp_nongrid_occ(jnp.asarray(c2w_ref), jnp.asarray(w2c),
+                                      jnp.asarray(K), jnp.asarray(pts), H, W)
+    got = np.asarray(got)
+    assert want.sum() > 50 and want.sum() < len(pts)   # z-buffer active
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_2d_depth_occ_masks_occluded():
+    """With depth_occ, a point hidden behind another (same src pixel cell,
+    farther along the ray) must contribute zero features."""
+    H = W = 16
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]], np.float32)
+    c2ws = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    w2cs = c2ws.copy()
+    # two points on the SAME src-view ray: z=2 (front) and z=5 (occluded)
+    pts = np.array([[0.1, 0.1, 2.0], [0.25, 0.25, 5.0]], np.float32)
+    feat = np.ones((2, 3, H, W), np.float32)        # [V,C,h,w]
+    img_feats = [jnp.asarray(feat), jnp.asarray(feat)]
+    feats_occ, _ = pm.extract_2d(img_feats, [1], [1], jnp.asarray(np.tile(
+        K[None], (2, 1, 1))), jnp.asarray(c2ws), jnp.asarray(w2cs),
+        jnp.asarray(pts), H, W, cam_vid=0, depth_occ=1)
+    feats_no, _ = pm.extract_2d(img_feats, [1], [1], jnp.asarray(np.tile(
+        K[None], (2, 1, 1))), jnp.asarray(c2ws), jnp.asarray(w2cs),
+        jnp.asarray(pts), H, W, cam_vid=0, depth_occ=0)
+    feats_occ, feats_no = np.asarray(feats_occ), np.asarray(feats_no)
+    assert feats_no[0].sum() > 0 and feats_no[1].sum() > 0
+    assert feats_occ[0].sum() > 0          # front point still sampled
+    assert feats_occ[1].sum() == 0         # occluded point masked
+
+
 def test_geometric_consistency():
     """Two views of the z=0 plane with exact analytic depth must be consistent;
     corrupting one view's depth must break it."""
