@@ -235,6 +235,10 @@ class Options:
     superset_P: int = 0                    # >0: precomputed per-voxel neighborhood supersets (fast query)
     ray_chunk: int = 0                     # >0: map the train render over ray chunks of this size
     profile_dir: str = ""                  # capture a jax.profiler trace of the train loop here
+    # LPIPS weights (full torch state dicts; see utils/lpips_jax.py docstring
+    # for the one-file drop). Empty = LPIPS reported as SKIPPED.
+    lpips_alex_path: str = ""
+    lpips_vgg_path: str = ""
     prefetch_depth: int = 2                # host batches prepared ahead of the device
     remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)
     seed: int = 0
@@ -282,13 +286,30 @@ class Options:
 _NERF_SYNTH_RANGES = {
     # reference: dev_scripts/w_n360/*_cuda.sh `ranges=`
     "lego": (-0.638, -1.141, -0.346, 0.634, 1.149, 1.141),
-    "chair": (-0.720, -0.700, -0.995, 0.658, 0.706, 1.050),
-    "drums": (-1.125, -0.758, -0.455, 1.123, 0.939, 0.932),
-    "ficus": (-0.377, -0.858, -1.03, 0.555, 0.594, 1.2),
-    "hotdog": (-1.198, -1.286, -0.19, 1.198, 1.109, 0.312),
-    "materials": (-1.121, -0.759, -0.242, 1.1225, 0.963, 0.3),
+    "chair": (-0.721, -0.695, -0.995, 0.658, 0.706, 1.050),
+    "drums": (-1.126, -0.746, -0.492, 1.122, 0.962, 0.939),
+    "ficus": (-0.377, -0.858, -1.034, 0.555, 0.578, 1.141),
+    "hotdog": (-1.198, -1.286, -0.190, 1.198, 1.110, 0.312),
+    "materials": (-1.123, -0.759, -0.232, 1.072, 0.986, 0.200),
     "mic": (-1.252, -0.910, -0.742, 0.767, 1.082, 1.151),
-    "ship": (-1.354, -1.352, -0.608, 1.349, 1.36, 0.728),
+    "ship": (-1.277, -1.300, -0.550, 1.371, 1.349, 0.729),
+}
+
+# per-scene deltas from the shared base (reference: dev_scripts/w_n360/
+# {scene}_cuda.sh — the in-process-grow variants, matching this framework's
+# restartless design). prune_iter < 0 disables pruning; prob_thresh < 0
+# disables opacity gating during probing (ficus grows from every miss).
+_NERF_SYNTH_OVERRIDES = {
+    "chair": dict(max_o=410000, prune_iter=-10001),
+    "drums": dict(max_o=400000, prune_iter=-10001),
+    "ficus": dict(max_o=290000, prob_thresh=-0.7, plr=0.008,
+                  zero_one_loss_items=(), zero_one_loss_weights=()),
+    "hotdog": dict(max_o=1000000),
+    "lego": dict(max_o=830000),
+    "materials": dict(max_o=930000, prune_iter=-10001),
+    "mic": dict(max_o=300000, random_sample_size=110,
+                zero_one_loss_items=(), zero_one_loss_weights=()),
+    "ship": dict(max_o=1500000, vox_res=280, prob_thresh=0.5),
 }
 
 
@@ -372,8 +393,20 @@ def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
         apply_pnt_mask=1,
         raydist_mode_unit=1,
         superset_P=32,
+        depth_occ=1,
+        bg_filtering=1,
     )
+    scene = _NERF_SYNTH_OVERRIDES.get(scan)
+    if scene:
+        base = base.replace(**scene)
     return base.replace(**overrides) if overrides else base
+
+
+# reference: dev_scripts/w_scannet_etf/scene101.sh is a test_ft-only config —
+# the per-scene deltas still matter for evaluating its released checkpoint.
+_SCANNET_OVERRIDES = {
+    "scene0101_04": dict(max_o=2000000, P=30),
+}
 
 
 def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
@@ -398,17 +431,46 @@ def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
         point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
         maximum_step=200000,
     )
+    scene = _SCANNET_OVERRIDES.get(scan)
+    if scene:
+        base = base.replace(**scene)
     return base.replace(**overrides) if overrides else base
 
 
-_TT_RANGES = {
-    # reference: dev_scripts/w_tt_ft/<scene>.sh `ranges=`
-    "Barn": (-2.05965, -0.48064, -2.2366, 1.78036, 0.6094, 1.28341),
+# per-scene deltas from the Barn base (reference: dev_scripts/w_tt_ft/
+# {barn,caterpillar,family,ignatius,truck}.sh)
+_TT_OVERRIDES = {
+    "Barn": dict(
+        ranges=(-2.05965, -0.48064, -2.2366, 1.78036, 0.6094, 1.28341),
+        vsize=(0.003, 0.003, 0.003), max_o=1500000, P=11,
+        far_plane=4.5, random_sample_size=48,
+        prob_num_step=20, prob_tiers=(90000,)),
+    "Caterpillar": dict(
+        ranges=(-1.3345, -0.8172, -0.9727, 0.9255, 0.7428, 1.3273),
+        vsize=(0.002, 0.002, 0.002), max_o=1800000, P=10,
+        far_plane=3.0, random_sample_size=56,
+        prob_num_step=50, prob_tiers=(130000,)),
+    "Family": dict(
+        ranges=(-0.31397, -0.20539, -0.33925, 0.26604, 0.37462, 0.24076),
+        vsize=(0.001, 0.001, 0.001), max_o=800000, P=32,
+        far_plane=1.0, random_sample_size=68,
+        prob_num_step=50, prob_tiers=(80000,)),
+    "Ignatius": dict(
+        ranges=(-0.4767, -0.5928, -0.5274, 0.5833, 0.7872, 0.5326),
+        vsize=(0.002, 0.002, 0.002), max_o=1050000, P=18,
+        far_plane=3.2, random_sample_size=56,
+        prob_num_step=25, prob_tiers=(70000,)),
+    "Truck": dict(
+        ranges=(-1.125, -0.598, -1.052, 0.795, 0.203, 1.029),
+        vsize=(0.002, 0.002, 0.002), max_o=1600000, P=10,
+        far_plane=3.5, random_sample_size=56,
+        prob_num_step=50, prob_tiers=(40000,),
+        prune_thresh=-1.0, default_conf=0.1),
 }
 
 
 def tt_preset(scan: str = "Barn", **overrides) -> Options:
-    """Tanks&Temples per-scene finetune (reference: dev_scripts/w_tt_ft/barn.sh)."""
+    """Tanks&Temples per-scene finetune (reference: dev_scripts/w_tt_ft/*.sh)."""
     base = Options(
         experiment=f"{scan}_tpu", scan=scan, dataset_name="tt_ft",
         model="mvs_points_volumetric",
@@ -417,15 +479,53 @@ def tt_preset(scan: str = "Barn", **overrides) -> Options:
         radius_limit_scale=4.0,
         vscale=(3, 3, 3), kernel_size=(3, 3, 3), query_size=(3, 3, 3),
         vsize=(0.003, 0.003, 0.003), z_depth_dim=400, max_o=1500000,
-        ranges=_TT_RANGES.get(scan, (-100.0,) * 3 + (100.0,) * 3),
+        ranges=(-100.0,) * 3 + (100.0,) * 3,
         SR=40, K=8, P=11,
-        near_plane=0.0 if scan == "Barn" else 0.1, far_plane=4.5,
+        near_plane=0.0, far_plane=4.5,
         random_sample_size=48, plr=0.002, lr=0.0005,
         prob_freq=10001, prob_num_step=20, prob_thresh=0.7, prob_mul=0.4,
         prob_kernel_size=(3.0, 3.0, 3.0), prob_tiers=(90000,),
         bg_color="white", point_features_dim=32,
         agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
         point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        depth_occ=1, appr_feature_str0=("imgfeat_0_0123", "dir_0",
+                                        "point_conf"),
+        zero_one_loss_items=("conf_coefficient",),
+        zero_one_loss_weights=(0.0001,),
+        maximum_step=200000,
+    )
+    scene = _TT_OVERRIDES.get(scan)
+    if scene:
+        base = base.replace(**scene)
+    return base.replace(**overrides) if overrides else base
+
+
+def dtu_ft_preset(scan: str = "scan1", **overrides) -> Options:
+    """DTU per-scene finetune (reference: dtu_ft_dataset defaults +
+    dev_scripts/dtu_test_inf/*.sh geometry; plane background per scan)."""
+    base = Options(
+        experiment=f"dtu_{scan}_tpu", scan=scan, dataset_name="dtu_ft",
+        model="mvs_points_volumetric",
+        img_wh=(640, 512), vox_res=320,
+        prune_thresh=0.1, prune_iter=10001, default_conf=0.15,
+        radius_limit_scale=4.0,
+        vscale=(2, 2, 2), kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        vsize=(0.002, 0.002, 0.002), z_depth_dim=400, max_o=500000,
+        SR=40, K=8, P=16,
+        near_plane=2.125, far_plane=4.525, random_sample_size=56,
+        plr=0.002, lr=0.0005,
+        init_view_num=3, manual_depth_view=1, depth_vid="0",
+        depth_conf_thresh=0.8, geo_cnsst_num=2, depth_grid=128,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        shading_feature_mlp_layer0=1,
+        prob_freq=10001, prob_num_step=20, prob_thresh=0.7, prob_mul=0.4,
+        prob_kernel_size=(3.0, 3.0, 3.0), prob_tiers=(90000,),
+        bg_color="white", point_features_dim=32,
+        agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
+        point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        bgmodel="plane",
+        zero_one_loss_items=("conf_coefficient",),
+        zero_one_loss_weights=(0.0001,),
         maximum_step=200000,
     )
     return base.replace(**overrides) if overrides else base
@@ -457,5 +557,6 @@ PRESETS = {
     "nerf_synth": nerf_synth_preset,
     "scannet": scannet_preset,
     "tt": tt_preset,
+    "dtu_ft": dtu_ft_preset,
     "dtu_gen": lambda scan="": dtu_gen_preset(),
 }

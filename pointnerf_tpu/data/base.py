@@ -127,7 +127,7 @@ def chunks_of_item(item: Dict, chunk_rays: int):
         e = min(s + chunk_rays, R)
         pad = chunk_rays - (e - s)
         sub = dict(item)
-        for k in ("raydir", "pixel_idx", "gt_image"):
+        for k in ("raydir", "pixel_idx", "gt_image", "bg_ray"):
             if k in item:
                 a = item[k][:, s:e]
                 if pad:

@@ -61,7 +61,7 @@ class DtuFtDataset(BaseDataset):
         self.intrinsics = self._mvs.intrinsics[self.ids]
         self.cam2worlds = self._mvs.cam2worlds[self.ids]
         self.world2cams = self._mvs.world2cams[self.ids]
-        self.view_id_list = []
+        self._build_init_metas()
 
         if split == "render":
             self._build_render_poses()
@@ -69,6 +69,95 @@ class DtuFtDataset(BaseDataset):
             return
         self._read_images()
         self.total = len(self.ids)
+
+    def _build_init_metas(self):
+        """MVS-init view bundles + plane index.
+
+        Reference: dtu_ft_dataset.build_init_metas (:399-436) — reads
+        dtu_configs/dtu_finetune_init_pairs.txt ("<num>\\n<ref>\\n<src,src,..>"
+        blocks) and the per-scan plane index from
+        dtu_configs/lists/dtu_test_ground.txt. When the pair file is absent
+        the bundles fall back to nearest-camera groups over the scan's views,
+        which covers the same need (well-overlapping triplets for MVSNet).
+        """
+        self.view_id_list = []
+        pair_path = os.path.join(self.data_dir, "dtu_configs",
+                                 "dtu_finetune_init_pairs.txt")
+        if os.path.exists(pair_path):
+            with open(pair_path) as f:
+                num = int(f.readline())
+                for _ in range(num):
+                    ref = int(f.readline().rstrip())
+                    srcs = [int(x) for x in f.readline().rstrip().split(",")]
+                    self.view_id_list.append([ref] + srcs)
+        else:
+            cam_pos = self._mvs.cam2worlds[:, :3, 3]
+            n = len(self._mvs.id_list)
+            refs = list(range(0, n, max(1, n // 16)))
+            for r in refs:
+                d = np.linalg.norm(cam_pos - cam_pos[r], axis=-1)
+                near = [int(self._mvs.id_list[j])
+                        for j in np.argsort(d)[1:5]]
+                self.view_id_list.append([int(self._mvs.id_list[r])] + near)
+
+        ground = os.path.join(self.data_dir, "dtu_configs", "lists",
+                              "dtu_test_ground.txt")
+        if os.path.exists(ground):
+            with open(ground) as f:
+                for line in f:
+                    info = line.strip().split()
+                    if len(info) >= 2 and info[0] == self.scan:
+                        self.plane_ind = int(info[1])
+                        break
+
+    def get_init_item(self, idx: int) -> Dict:
+        """MVS bundle for one init view group (reference dtu_ft_dataset
+        get_init_item :619-679); same layout as the generalizable dataset's,
+        built from this scan's light-3 rectified images."""
+        from PIL import Image
+        view_ids = self.view_id_list[idx][: self.opt.init_view_num]
+        m = self._mvs
+        imgs, depths_h, affs, intr, w2cs, c2ws, nfs = [], [], [], [], [], [], []
+        for vid in view_ids:
+            path = os.path.join(
+                self.data_dir,
+                f"Rectified/{self.scan}_train/rect_{vid + 1:03d}_3_r5000.png")
+            img = Image.open(path).convert("RGB")
+            if img.size != self.img_wh:
+                img = img.resize(self.img_wh, Image.Resampling.BILINEAR)
+            imgs.append(np.transpose(
+                np.asarray(img, np.float32) / 255.0, (2, 0, 1)))
+            dpath = os.path.join(
+                self.data_dir, f"Depths_raw/{self.scan}/depth_map_{vid:04d}.pfm")
+            depths_h.append(m.read_depth(dpath) if os.path.exists(dpath)
+                            else np.zeros(self.img_wh[::-1], np.float32))
+            ri = m.remap[vid]
+            a, nf = m.affines[ri]
+            affs.append(a)
+            intr.append(m.intrinsics[ri])
+            w2cs.append(m.world2cams[ri])
+            c2ws.append(m.cam2worlds[ri])
+            nfs.append(nf)
+        V = len(view_ids)
+        inv = [np.linalg.inv(a) for a in affs]
+        proj_mats = np.stack([
+            np.stack([np.eye(4) if i == j else affs[j] @ inv[i]
+                      for j in range(V)])[:, :3] for i in range(V)])
+        imgs = np.stack(imgs).astype(np.float32)
+        return {
+            "images": imgs,
+            "mvs_images": imgs,
+            "depths_h": np.stack(depths_h).astype(np.float32),
+            "w2cs": np.stack(w2cs).astype(np.float32),
+            "c2ws": np.stack(c2ws).astype(np.float32),
+            "near_fars_depth": np.asarray(nfs[0], np.float32),
+            "near_fars": np.tile(np.asarray(nfs[0], np.float32)[None], (V, 1)),
+            "proj_mats": proj_mats.astype(np.float32),
+            "intrinsics": np.stack(intr).astype(np.float32),
+            "view_ids": np.asarray(view_ids),
+            "alphas": np.ones((V,) + self.img_wh[::-1], np.float32),
+            "scan": self.scan,
+        }
 
     def _build_render_poses(self, stride: int = 60):
         """Spherical render path around the scan (reference :149-190)."""
@@ -96,18 +185,29 @@ class DtuFtDataset(BaseDataset):
             self.render_gtimgs.append(arr)
             self.alphas.append(np.ones(arr.shape[:2], np.float32))
 
+    def _attach_plane(self, item: Dict) -> Dict:
+        """plane_pnt/normal/color ride along with every item (reference
+        :732-735) so drivers can build bg_ray without dataset-specific code."""
+        pnt, normal, color = self.get_plane_param()
+        item["plane_pnt"] = np.asarray(pnt, np.float32)
+        item["plane_normal"] = np.asarray(normal, np.float32)
+        item["plane_color"] = np.asarray(color, np.float32)
+        return item
+
     def get_item(self, idx: int, rng=None, full_img: bool = False) -> Dict:
         rng = rng or np.random.RandomState()
         nf = self._mvs.affines[self.ids[idx]][1]
-        return self.make_item(self.render_gtimgs[idx], self.intrinsics[idx],
-                              self.cam2worlds[idx], nf[0], nf[1], rng, idx,
-                              full_img=full_img)
+        return self._attach_plane(
+            self.make_item(self.render_gtimgs[idx], self.intrinsics[idx],
+                           self.cam2worlds[idx], nf[0], nf[1], rng, idx,
+                           full_img=full_img))
 
     def get_dummyrot_item(self, idx: int, rng=None) -> Dict:
         rng = rng or np.random.RandomState()
         nf = self._mvs.affines[self.ids[0]][1]
-        return self.make_item(None, self.intrinsics[0], self.render_poses[idx],
-                              nf[0], nf[1], rng, idx, full_img=True)
+        return self._attach_plane(
+            self.make_item(None, self.intrinsics[0], self.render_poses[idx],
+                           nf[0], nf[1], rng, idx, full_img=True))
 
     def get_campos_ray(self):
         from ..ops.camera import get_dtu_raydir

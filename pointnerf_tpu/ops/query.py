@@ -83,17 +83,32 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     B, R, SR, _ = sample_loc.shape
     P2 = spec.superset_P
     BIG = jnp.float32(3.0e38)
+    S = B * R * SR
 
     coords, inb = voxel_coords(sample_loc, spec)
     lin = jnp.where(inb, linearize(coords, spec), 0)
     slot = jnp.where(inb & sample_mask, grid["coor_slot"][lin], -1)  # [B,R,SR]
 
-    rows = grid["super_xyz"].reshape(spec.max_o, P2 * 4)[
-        jnp.maximum(slot, 0).reshape(-1)].reshape(B, R, SR, P2, 4)
-    cxyz = rows[..., :3]
-    cand_idx = rows[..., 3].astype(jnp.int32)
-    d2 = jnp.sum(jnp.square(cxyz - sample_loc[..., None, :]), axis=-1)
-    valid = (slot[..., None] >= 0) & (d2 < 1.0e15)
+    # rows are SoA [x·P2 | y·P2 | z·P2 | idx·P2] (see grid.build_block): every
+    # step below stays in the [S, 4·P2] / [S, P2] layouts — lane width 4·P2 is
+    # a full TPU tile at P2=32, where an AoS [..., P2, 4] layout pads 32x.
+    rows = grid["super_xyz"][jnp.maximum(slot, 0).reshape(-1)]   # [S, 4·P2]
+    loc = sample_loc.reshape(S, 3)
+    # d2_j = Σ_axis (row[axis·P2+j] - loc[axis])², computed without splitting
+    # the row: subtract the per-axis value tiled across its P2-block, square,
+    # zero the idx block, then group-sum with a constant [4·P2, P2] 0/1 matmul
+    # (MXU) instead of a reshaped reduction.
+    tiled = jnp.concatenate(
+        [jnp.repeat(loc, P2, axis=-1),
+         jnp.zeros((S, P2), loc.dtype)], axis=-1)                # [S, 4·P2]
+    diff = rows - tiled
+    keep3 = np.zeros((4 * P2, P2), np.float32)
+    for a in range(3):
+        keep3[a * P2: (a + 1) * P2] = np.eye(P2, dtype=np.float32)
+    d2 = jnp.square(diff) @ jnp.asarray(keep3)                   # [S, P2]
+
+    cand_idx = rows[:, 3 * P2:].astype(jnp.int32)                # [S, P2]
+    valid = (slot.reshape(S, 1) >= 0) & (d2 < 1.0e15)
     if spec.radius_limit > 0:
         valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
     d2 = jnp.where(valid, d2, BIG)
@@ -101,7 +116,7 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     neg_top, arg = jax.lax.top_k(-d2, K)
     best_d = -neg_top
     best_i = jnp.take_along_axis(cand_idx, arg, axis=-1)
-    return jnp.where(best_d < BIG, best_i, -1)
+    return jnp.where(best_d < BIG, best_i, -1).reshape(B, R, SR, K)
 
 
 def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,

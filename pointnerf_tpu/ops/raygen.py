@@ -175,6 +175,51 @@ def sample_pdf(bins, weights, n_samples, key: Optional[jax.Array] = None,
     return jnp.sort(samples, axis=-1)
 
 
+def refine_ray_generation(campos, raydir, point_count, prev_ts, prev_weights,
+                          domain_size: float = 1.0, jitter: float = 0.0,
+                          key: Optional[jax.Array] = None, **_) -> Arrays4:
+    """Importance-resampled fine pass (reference: diff_ray_marching.py:396-430).
+
+    prev_ts/prev_weights: [B,R,S] coarse sample depths + blend weights. The
+    output keeps the reference's count: point_count + S samples (sample_pdf
+    appends the coarse bins before sorting), at segment midpoints.
+    """
+    end_ts = jax.lax.stop_gradient(
+        sample_pdf(prev_ts, prev_weights, point_count + 1, key=key,
+                   det=jitter <= 0))                           # [B,R,pc+1+S]
+    seg = end_ts[..., 1:] - end_ts[..., :-1]
+    mid_ts = 0.5 * (end_ts[..., :-1] + end_ts[..., 1:])
+    raypos = campos[:, None, None, :] + \
+        raydir[:, :, None, :] * mid_ts[..., None]
+    valid = jnp.ones_like(mid_ts)
+    seg = seg * jnp.linalg.norm(raydir, axis=-1)[..., None]
+    return raypos, seg, valid, mid_ts
+
+
+def nerf_refine_ray_generation(campos, raydir, point_count, prev_ts,
+                               prev_weights, domain_size: float = 1.0,
+                               jitter: float = 0.0,
+                               key: Optional[jax.Array] = None, **_) -> Arrays4:
+    """NeRF-variant refine pass (reference: :433-470 — same math; kept as a
+    separate registry entry to mirror the reference surface)."""
+    return refine_ray_generation(campos, raydir, point_count, prev_ts,
+                                 prev_weights, domain_size=domain_size,
+                                 jitter=jitter, key=key)
+
+
+def refine_cube_ray_generation(campos, raydir, point_count, prev_ts,
+                               prev_weights, domain_size: float = 1.0,
+                               jitter: float = 0.0,
+                               key: Optional[jax.Array] = None, **_) -> Arrays4:
+    """Refine pass with cube-domain validity (reference: :472-505)."""
+    raypos, seg, _, mid_ts = refine_ray_generation(
+        campos, raydir, point_count, prev_ts, prev_weights,
+        domain_size=domain_size, jitter=jitter, key=key)
+    valid = jnp.all((raypos > -domain_size) & (raypos < domain_size),
+                    axis=-1).astype(raypos.dtype)
+    return raypos, seg, valid, mid_ts
+
+
 _GENERATORS = {
     "near_far_linear": near_far_linear_ray_generation,
     "near_far_disparity_linear": near_far_disparity_linear_ray_generation,
@@ -189,3 +234,13 @@ def find_ray_generation_method(name: str):
     if name not in _GENERATORS:
         raise RuntimeError(f"No such ray generation method: {name}")
     return _GENERATORS[name]
+
+
+def find_refined_ray_generation_method(name: str):
+    """Fine-pass registry (reference: diff_ray_marching.py:24-33): 'cube' →
+    cube-validity variant, 'nerf*' → nerf variant, anything else → default."""
+    if name == "cube":
+        return refine_cube_ray_generation
+    if name.startswith("nerf"):
+        return nerf_refine_ray_generation
+    return refine_ray_generation

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (campos [B,3], camrotc2w [B,3,3], near/far scalars, bg_color) is per-camera or
 # scalar and shards only over "batch".
 RAY_AXIS_KEYS = frozenset({
-    "raydir", "gt_image", "pixel_idx", "bg_ray", "gt_mask", "gt_depth",
+    "raydir", "gt_image", "pixel_idx", "bg_ray",
 })
 PER_CAMERA_KEYS = frozenset({
     "campos", "camrotc2w", "intrinsic", "bg_color",

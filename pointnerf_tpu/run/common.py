@@ -194,6 +194,16 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     if opt.vox_res > 0:
         xyz, idx = construct_vox_points_closest(xyz, opt.vox_res)
         rgb = rgb[idx] if rgb is not None else None
+    if opt.resample_pnts > 0:
+        # reference train_ft.py:698-704: 1 = keep only the point nearest the
+        # origin (single-point debug), N = random subsample to N points
+        if opt.resample_pnts == 1:
+            idx = np.argmin(np.linalg.norm(xyz, axis=-1))[None]
+        else:
+            idx = np.random.RandomState(opt.seed).permutation(
+                len(xyz))[: opt.resample_pnts]
+        xyz = xyz[idx]
+        rgb = rgb[idx] if rgb is not None else None
     n = xyz.shape[0]
 
     # nearest-view directions (reference: train_ft.py:706-710 nearest_view)
@@ -248,7 +258,7 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     for sub, s, e in chunks_of_item(item, chunk):
         batch = {k: v for k, v in sub.items()
                  if k in ("raydir", "campos", "camrotc2w", "near", "far",
-                          "bg_color", "gt_image")}
+                          "bg_color", "gt_image", "bg_ray")}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         out = trainer.eval_step(ts, grid, batch, opt, spec, prob=prob)
         px, py = pix[s:e, 0], pix[s:e, 1]

@@ -59,7 +59,11 @@ def main(opt: Options) -> Dict:
     mean_psnr = test(ts, grid, opt, spec, test_ds, visualizer, found,
                      max_images=opt.test_num if opt.test_num > 0 else None)
     img_dir = os.path.join(visualizer.image_dir, f"test_{found}")
-    scores = report_metrics(img_dir, img_dir, img_dir, ("psnr", "ssim", "rmse"))
+    metric_names = ["psnr", "ssim", "rmse", "lpips", "vgglpips"]
+    scores = report_metrics(
+        img_dir, img_dir, img_dir, tuple(metric_names),
+        lpips_weights={"lpips": opt.lpips_alex_path,
+                       "vgglpips": opt.lpips_vgg_path})
     visualizer.print_details(f"scores: {scores}")
     return {"psnr": mean_psnr, "scores": scores, "step": found}
 

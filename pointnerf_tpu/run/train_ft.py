@@ -147,13 +147,16 @@ def prune_points(ts, opt):
 
 
 def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
-         max_images: Optional[int] = None, write_images: bool = True
-         ) -> float:
+         max_images: Optional[int] = None, write_images: bool = True,
+         bg_maps=None) -> float:
     """Render the held-out split, PSNR per image (reference: train_ft.py:252-414)."""
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     psnrs = []
     for i in range(n):
         item = dataset.get_item(i, full_img=True)
+        if bg_maps is not None:
+            pix = item["pixel_idx"][0].astype(np.int64)
+            item["bg_ray"] = bg_maps[i][pix[:, 1], pix[:, 0]][None]
         maps = render_image(ts, grid, opt.replace(random_sample="no_crop"),
                             spec, item, keys=("coarse_raycolor", "ray_mask"))
         H, W = int(item["h"]), int(item["w"])
@@ -208,6 +211,23 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             cat("color", bcol), cat("dir", bdir), cat("conf", bconf))
         visualizer.print_details(f"added {len(bx)} background plane points")
     ts = trainer.create_train_state(opt, key, point_state)
+
+    # plane background: precompute per-frame bg maps from the init views
+    # (reference: train_ft.py:788-798 create_all_bg + :928-936 per-batch wiring)
+    bg_train = bg_test = None
+    if opt.bgmodel.endswith("plane") and getattr(train_ds, "view_id_list", None) \
+            and hasattr(train_ds, "get_plane_param"):
+        from ..models.mvs import bg as bgmod
+        views = bgmod.collect_bg_views(train_ds, opt.init_view_num)
+        st = trainer.point_state_of(ts)
+        fg_xyz = np.asarray(st["xyz"])[np.asarray(st["mask"])]
+        plane_params = train_ds.get_plane_param()
+        bg_train = bgmod.create_all_bg(train_ds, views, fg_xyz, plane_params)
+        bg_test = bgmod.create_all_bg(test_ds, views, fg_xyz, plane_params)
+        visualizer.print_details(
+            f"plane background precomputed for {len(bg_train)} train / "
+            f"{len(bg_test)} test frames")
+
     total_steps, best_psnr, best_iter = 0, 0.0, 0
     if latest_step(ckpt_dir) is not None:
         ts, counters = load_checkpoint(ckpt_dir, ts)
@@ -237,7 +257,11 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
 
     def produce():
         fid = int(data_rng.randint(len(train_ds)))
-        return fid, train_ds.get_item(fid, rng=data_rng)
+        item = train_ds.get_item(fid, rng=data_rng)
+        if bg_train is not None:
+            pix = item["pixel_idx"][0].astype(np.int64)
+            item["bg_ray"] = bg_train[fid][pix[:, 1], pix[:, 0]][None]
+        return fid, item
 
     prefetcher = Prefetcher(produce, depth=max(1, opt.prefetch_depth)
                             * max(1, opt.steps_per_dispatch))
@@ -304,7 +328,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         fids = [f for f, _ in pulled]
         host_items = [it for _, it in pulled]
         batch_keys = ("raydir", "campos", "camrotc2w", "near", "far",
-                      "bg_color", "gt_image")
+                      "bg_color", "gt_image") + \
+            (("bg_ray",) if bg_train is not None else ())
         with timer.phase("device_step"):
             if chunk == 1:
                 batch = {k: jnp.asarray(host_items[0][k]) for k in batch_keys}
@@ -355,7 +380,7 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
         if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
             cur = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
-                       max_images=opt.test_num)
+                       max_images=opt.test_num, bg_maps=bg_test)
             if cur > best_psnr:
                 best_psnr, best_iter = cur, total_steps
 
@@ -363,14 +388,19 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     trace_ctx.__exit__(None, None, None)
     prefetcher.close()
     save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
-    final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps)
+    final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
+                      bg_maps=bg_test)
     if final_psnr > best_psnr:
         best_psnr, best_iter = final_psnr, total_steps
     visualizer.print_details(
         f"done: {total_steps} steps in {time.time() - t_start:.1f}s, "
         f"final PSNR {final_psnr:.3f}, best {best_psnr:.3f}@{best_iter}")
     img_dir = os.path.join(visualizer.image_dir, f"test_{total_steps}")
-    scores = report_metrics(img_dir, img_dir, img_dir, ("psnr", "ssim", "rmse"))
+    metric_names = ["psnr", "ssim", "rmse", "lpips", "vgglpips"]
+    scores = report_metrics(
+        img_dir, img_dir, img_dir, tuple(metric_names),
+        lpips_weights={"lpips": opt.lpips_alex_path,
+                       "vgglpips": opt.lpips_vgg_path})
     if opt.gen_vid:
         # final video over the render path (reference: train_ft.py:1014-1033)
         try:

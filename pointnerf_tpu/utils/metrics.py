@@ -94,7 +94,11 @@ def lpips_fn(net: str = "alex", weights_path: Optional[str] = None):
             return float(model(g * 2 - 1, m * 2 - 1).item())
         return fn
     except Exception:
-        return None
+        pass
+    # jax-native LPIPS from a full torch state dict (see utils/lpips_jax.py
+    # module docstring for the one-file drop that enables this)
+    from .lpips_jax import lpips_fn_jax
+    return lpips_fn_jax(weights_path)
 
 
 def report_metrics(gt_dir: str, img_dir: str, out_dir: str,
@@ -147,6 +151,13 @@ def report_metrics(gt_dir: str, img_dir: str, out_dir: str,
         np.savetxt(os.path.join(out_dir, key + ".txt"), arr)
         means[key] = float(arr.mean())
         out_str += key + ": %.6f\n" % means[key]
+    # record metrics that were requested but skipped (e.g. LPIPS without a
+    # local weights file) so quality tables are never silently incomplete
+    skipped = [k for k in metrics if k not in total]
+    for k in skipped:
+        reason = "no weights file (see utils/lpips_jax.py docstring)" \
+            if k in ("lpips", "vgglpips") else "no images"
+        out_str += f"{k}: SKIPPED ({reason})\n"
     with open(os.path.join(out_dir, "scores.txt"), "w") as f:
         f.write(out_str)
     return means

@@ -288,4 +288,16 @@ def make_dtu_scene(root, scan="scan1", n_views=6, wh=(64, 64), radius=3.0):
             f.write(f"{ref}\n")
             f.write(f"{len(srcs)} " +
                     " ".join(f"{v} 1.0" for v in srcs) + "\n")
+    # per-scan MVS-init view bundles (reference dtu_finetune_init_pairs.txt)
+    with open(os.path.join(root, "dtu_configs/dtu_finetune_init_pairs.txt"),
+              "w") as f:
+        f.write("3\n")
+        for ref in (0, 2, 4):
+            srcs = [(ref + 1) % n_views, (ref + 2) % n_views,
+                    (ref + 3) % n_views]
+            f.write(f"{ref}\n")
+            f.write(",".join(str(s) for s in srcs) + "\n")
+    with open(os.path.join(root, "dtu_configs/lists/dtu_test_ground.txt"),
+              "w") as f:
+        f.write(f"{scan} 0\n")
     return root

@@ -38,3 +38,37 @@ def test_render_vid(trained):
     assert out["n_frames"] == 20
     assert out["video"] is not None and os.path.exists(out["video"])
     assert os.path.getsize(out["video"]) > 1000
+
+
+def test_preset_scene_parity():
+    """Every shipped per-scene preset constructs with the reference dev_script
+    constants (reference: dev_scripts/w_n360/*_cuda.sh, w_scannet_etf/*.sh,
+    w_tt_ft/*.sh)."""
+    from pointnerf_tpu.config import PRESETS
+
+    n360 = {s: PRESETS["nerf_synth"](s) for s in
+            ("chair", "drums", "ficus", "hotdog", "lego", "materials",
+             "mic", "ship")}
+    assert n360["ship"].max_o == 1500000 and n360["ship"].vox_res == 280
+    assert n360["ship"].prob_thresh == 0.5
+    assert n360["mic"].random_sample_size == 110
+    assert n360["mic"].zero_one_loss_items == ()
+    assert n360["ficus"].plr == 0.008 and n360["ficus"].prob_thresh == -0.7
+    assert n360["chair"].prune_iter == -10001   # pruning disabled
+    assert all(o.depth_occ == 1 and o.bg_filtering == 1
+               for o in n360.values())
+    assert n360["materials"].ranges[0] == -1.123
+
+    tt = {s: PRESETS["tt"](s) for s in
+          ("Barn", "Caterpillar", "Family", "Ignatius", "Truck")}
+    assert tt["Family"].vsize == (0.001, 0.001, 0.001)
+    assert tt["Family"].P == 32 and tt["Family"].random_sample_size == 68
+    assert tt["Truck"].prune_thresh == -1.0 and tt["Truck"].default_conf == 0.1
+    assert tt["Caterpillar"].prob_tiers == (130000,)
+    assert tt["Ignatius"].prob_num_step == 25
+
+    sc = PRESETS["scannet"]("scene0101_04")
+    assert sc.max_o == 2000000 and sc.P == 30
+
+    dtu = PRESETS["dtu_ft"]("scan1")
+    assert dtu.bgmodel == "plane" and dtu.dataset_name == "dtu_ft"

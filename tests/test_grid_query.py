@@ -224,14 +224,15 @@ def test_superset_build_shapes():
                   max_o=1024, P=8, superset_P=32)
     spec = make_grid_spec(opt, xyz.min(0), xyz.max(0), 500)
     grid = build_grid(jnp.asarray(xyz), jnp.ones((500,), bool), spec)
-    assert grid["super_xyz"].shape == (1024, 32, 4)
+    # SoA row layout [x*P2 | y*P2 | z*P2 | idx*P2] (full-tile lane width)
+    assert grid["super_xyz"].shape == (1024, 4 * 32)
     assert grid["coor_slot"].shape == (spec.grid_size_vol,)
     # every dilated-occupied voxel maps to a valid slot
     cs = np.asarray(grid["coor_slot"])
     co = np.asarray(grid["coor_occ"])
     assert ((cs >= 0) == (co > 0)).all()
     # superset rows hold real candidates: idx channel within range or padding
-    sx = np.asarray(grid["super_xyz"])
-    idx = sx[..., 3]
-    real = sx[..., 0] < 1e7
+    sx = np.asarray(grid["super_xyz"]).reshape(1024, 4, 32)
+    idx = sx[:, 3]
+    real = sx[:, 0] < 1e7
     assert ((idx[real] >= 0) & (idx[real] < 500)).all()

