@@ -107,7 +107,6 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
         keep3[a * P2: (a + 1) * P2] = np.eye(P2, dtype=np.float32)
     d2 = jnp.square(diff) @ jnp.asarray(keep3)                   # [S, P2]
 
-    cand_idx = rows[:, 3 * P2:].astype(jnp.int32)                # [S, P2]
     valid = (slot.reshape(S, 1) >= 0) & (d2 < 1.0e15)
     if spec.radius_limit > 0:
         valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
@@ -115,7 +114,15 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
 
     neg_top, arg = jax.lax.top_k(-d2, K)
     best_d = -neg_top
-    best_i = jnp.take_along_axis(cand_idx, arg, axis=-1)
+    # decode candidate position -> point index WITHOUT take_along_axis: that
+    # lowers to ~S·K scalar gathers (measured ~45 ms/step at bench shapes —
+    # twice the rest of the query combined). A one-hot contraction against
+    # the float idx channel stays in the wide vector layout; indices are
+    # exact in f32 below 2^24 points.
+    onehot = (arg[..., None] == jnp.arange(P2, dtype=arg.dtype)
+              ).astype(jnp.float32)                              # [S, K, P2]
+    best_i = jnp.einsum("skp,sp->sk", onehot,
+                        rows[:, 3 * P2:]).astype(jnp.int32)
     return jnp.where(best_d < BIG, best_i, -1).reshape(B, R, SR, K)
 
 
@@ -187,10 +194,15 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
         valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
     d2 = jnp.where(valid, d2, BIG).reshape(B, R, SR, O * P)
 
-    # stage 3 — top-k selection
+    # stage 3 — top-k selection; position→index decode as a one-hot
+    # contraction (take_along_axis lowers to per-element gathers, see
+    # knn_neighbors_superset)
     neg_top, arg = jax.lax.top_k(-d2, K)
     best_d = -neg_top
-    best_i = jnp.take_along_axis(cand_idx, arg, axis=-1)
+    onehot = (arg[..., None] == jnp.arange(O * P, dtype=arg.dtype)
+              ).astype(jnp.float32)
+    best_i = jnp.einsum("...kp,...p->...k", onehot,
+                        cand_idx.astype(jnp.float32)).astype(jnp.int32)
     return jnp.where(best_d < BIG, best_i, -1)
 
 
