@@ -72,7 +72,8 @@ def filter_by_masks(depths: jnp.ndarray, intrinsics: jnp.ndarray,
     :222-291, manual_depth_view==1 branch).
 
     depths/conf/nearfar: [V,H,W]; intrinsics [V,3,3]; extrinsics [V,4,4].
-    Returns (depth_avg [V,H,W], keep_mask [V,H,W] bool, conf [V,H,W]).
+    Returns (depth_avg [V,H,W], keep_mask [V,H,W] bool, conf [V,H,W],
+    geo_sum [V,H,W] int32 — # of source views agreeing per pixel).
     """
     V = depths.shape[0]
 
@@ -92,9 +93,20 @@ def filter_by_masks(depths: jnp.ndarray, intrinsics: jnp.ndarray,
             (nearfar_masks[ref] > 0)
         if V > 1:
             final = final & geo_ok
-        return depth_avg, final
-    depth_avg, keep = jax.vmap(per_ref)(jnp.arange(V))
-    return depth_avg, keep, confidences
+        return depth_avg, final, geo_sum
+    depth_avg, keep, geo_sum = jax.vmap(per_ref)(jnp.arange(V))
+    return depth_avg, keep, confidences, geo_sum
+
+
+def reassign_conf(conf: jnp.ndarray, geo_sum: jnp.ndarray,
+                  geo_cnsst_num: int) -> jnp.ndarray:
+    """Rescale confidence by multi-view agreement (reference:
+    filter_utils.reassign_conf :296-299, enabled by --default_conf > 1.0):
+    conf *= 1 - 1.14869^-clip(geo_sum - geo_cnsst_num + 1, 1, 10)
+    (1.14869 = 2^(1/5): each extra agreeing view shrinks the residual
+    uncertainty by 2 per 5 views)."""
+    n = jnp.clip(geo_sum - geo_cnsst_num + 1, 1, 10).astype(jnp.float32)
+    return conf * (1.0 - jnp.power(1.14869, -n))
 
 
 def alpha_masking(points_w: jnp.ndarray, alphas: jnp.ndarray,

@@ -245,9 +245,12 @@ def gen_points(params: Dict, opt, sample: Dict, key,
     K_d = intrinsics[jnp.asarray(depth_vids)]
     E_d = w2cs[jnp.asarray(depth_vids)]
     if opt.manual_depth_view != 0 and len(depth_vids) >= 1:
-        depth_avg, keep, confs = fusion.filter_by_masks(
+        depth_avg, keep, confs, geo_sum = fusion.filter_by_masks(
             depths, K_d, E_d, confs, nf_masks.astype(jnp.float32),
             opt.depth_conf_thresh, opt.geo_cnsst_num)
+        if opt.default_conf > 1.0:
+            # multi-view-agreement confidence (reference filter_utils.py:268)
+            confs = fusion.reassign_conf(confs, geo_sum, opt.geo_cnsst_num)
     else:
         depth_avg = depths
         keep = nf_masks
@@ -264,9 +267,27 @@ def gen_points(params: Dict, opt, sample: Dict, key,
             near_far)
         cam_xyz = depth2point(ndc_depth, intrinsics[vid],
                               near_far).reshape(-1, 3)        # [num*HW,3]
+        conf_rows = jnp.tile(confs[i].reshape(-1, 1), (opt.num_each_depth, 1))
+        keep_rows = jnp.tile((keep[i] & nf).reshape(-1), (opt.num_each_depth,))
+        if opt.far_plane_shift is not None:
+            # background shell: every pixel the fusion REJECTED contributes a
+            # low-confidence point at far+shift (reference: filter_utils.py
+            # :273-281 keeps the original camera-xy at the shifted depth; here
+            # the shell point is unprojected along the pixel ray — geometric-
+            # ally on-ray, same capability). conf = 0.02 as in the reference.
+            far_z = near_far[1] + jnp.float32(opt.far_plane_shift)
+            ndc_far = (far_z - near_far[0]) / (near_far[1] - near_far[0])
+            bg_xyz = depth2point(
+                jnp.full((1, H, W), ndc_far, jnp.float32), intrinsics[vid],
+                near_far).reshape(-1, 3)                      # [HW,3]
+            cam_xyz = jnp.concatenate([cam_xyz, bg_xyz], axis=0)
+            conf_rows = jnp.concatenate(
+                [conf_rows, jnp.full((H * W, 1), 0.02, jnp.float32)], axis=0)
+            keep_rows = jnp.concatenate(
+                [keep_rows,
+                 jnp.logical_not(keep[i].reshape(-1))], axis=0)
         emb, col, drs, cf = query_embedding(
-            params, opt, img_feats, cam_xyz,
-            jnp.tile(confs[i].reshape(-1, 1), (opt.num_each_depth, 1)),
+            params, opt, img_feats, cam_xyz, conf_rows,
             intrinsics, c2ws, w2cs, H, W, vid)
         # to world (reference xyz_ref_lst :364-367, with ref = world here)
         ones = jnp.ones_like(cam_xyz[:, :1])
@@ -277,6 +298,5 @@ def gen_points(params: Dict, opt, sample: Dict, key,
         out["color"].append(col)
         out["dir"].append(drs)
         out["conf"].append(cf)
-        out["keep"].append(
-            jnp.tile((keep[i] & nf).reshape(-1), (opt.num_each_depth,)))
+        out["keep"].append(keep_rows)
     return {k: jnp.concatenate(v, axis=0) for k, v in out.items()}

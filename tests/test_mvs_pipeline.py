@@ -311,3 +311,56 @@ def test_gen_points_filter_embeddings_e2e(tmp_path_factory):
         assert np.isfinite(np.asarray(state["embedding"])[:n]).all()
         np.testing.assert_allclose(
             np.asarray(state["conf"])[np.asarray(state["mask"])], 0.4)
+
+
+def test_reassign_conf_formula():
+    """reassign_conf matches the reference expression (filter_utils.py:296-299):
+    conf *= 1 - 1/1.14869^clamp(geo_sum - geo_cnsst_num + 1, 1, 10)."""
+    conf = jnp.asarray(RNG.rand(4, 5).astype(np.float32))
+    geo_sum = jnp.asarray(RNG.randint(0, 12, (4, 5)).astype(np.int32))
+    got = np.asarray(fusion.reassign_conf(conf, geo_sum, geo_cnsst_num=2))
+    t_conf = torch.from_numpy(np.asarray(conf))
+    t_geo = torch.from_numpy(np.asarray(geo_sum)) - 2 + 1
+    want = t_conf * (1 - 1.0 / torch.pow(
+        torch.tensor(1.14869), torch.clamp(t_geo, min=1, max=10)))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5)
+
+
+def test_gen_points_far_plane_shift(scene):
+    """--far_plane_shift adds a conf-0.02 background shell behind the far
+    plane for every pixel the fusion rejected (reference filter_utils.py
+    :273-281)."""
+    opt = Options(
+        data_root=scene, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(40, 40), near_plane=2.0, far_plane=4.5, bg_color="white",
+        manual_depth_view=0, init_view_num=3, depth_vid="0",
+        manual_std_depth=0.0, num_each_depth=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        depth_conf_thresh=0.5, geo_cnsst_num=0, full_comb=1,
+        far_plane_shift=0.5,
+    )
+    ds = create_dataset(opt, split="train")
+    sample = ds.get_init_item(0)
+    vids = sample["view_ids"]
+    depths = np.stack([analytic_depth(ds, ds.id_list.index(v)) for v in vids])
+    sample = dict(sample, depths_h=depths)
+
+    params = pm.init_mvs_points_params(jax.random.PRNGKey(0), opt)
+    out = pm.gen_points(params, opt, sample, jax.random.PRNGKey(1))
+    keep = np.asarray(out["keep"]).astype(bool)
+    n_hit = int((depths[0] > 0).sum())
+    n_miss = 40 * 40 - n_hit
+    # every rejected pixel contributes exactly one shell point
+    assert keep.sum() == n_hit + n_miss == 40 * 40
+    conf = np.asarray(out["conf"])[keep][:, 0]
+    xyz = np.asarray(out["xyz_w"])[keep]
+    shell = conf <= 0.02 + 1e-6
+    assert shell.sum() == n_miss
+    # shell points sit at camera depth far+shift (camera at radius 4,
+    # scene-centered): world distance from the view camera ~= 5.0
+    campos = ds.cam2worlds[ds.id_list.index(vids[0])][:3, 3]
+    dist = np.linalg.norm(xyz[shell] - campos, axis=-1)
+    assert dist.min() > 4.9, dist.min()
+    # foreground points still on the plate
+    assert np.abs(xyz[~shell][:, 2]).max() < 1e-2
