@@ -56,7 +56,9 @@ class Options:
     P: int = 16                            # max points stored per voxel bucket
     NN: int = 2                            # 2: K-NN in world coords (reference NN flag)
     max_o: Optional[int] = None            # max occupied voxels (None = derived)
-    SR_budget: int = 0                     # >0: compact shading work to this many rows (perf)
+    SR_budget: int = 0                     # shading-row compaction budget: >0 explicit rows,
+                                           # -1 auto (25% of B·R·SR), 0 off; overflow is
+                                           # reported in items["sr_overflow"]
 
     # ---------------------------------------------------------------- neural points
     load_points: int = 0
@@ -393,6 +395,7 @@ def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
         apply_pnt_mask=1,
         raydist_mode_unit=1,
         superset_P=32,
+        SR_budget=-1,
         depth_occ=1,
         bg_filtering=1,
     )
@@ -429,6 +432,7 @@ def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
         bg_color="white", point_features_dim=32,
         agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
         point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
+        superset_P=32, SR_budget=-1,
         maximum_step=200000,
     )
     scene = _SCANNET_OVERRIDES.get(scan)
@@ -492,6 +496,7 @@ def tt_preset(scan: str = "Barn", **overrides) -> Options:
                                         "point_conf"),
         zero_one_loss_items=("conf_coefficient",),
         zero_one_loss_weights=(0.0001,),
+        superset_P=32, SR_budget=-1,
         maximum_step=200000,
     )
     scene = _TT_OVERRIDES.get(scan)
@@ -526,6 +531,7 @@ def dtu_ft_preset(scan: str = "scan1", **overrides) -> Options:
         bgmodel="plane",
         zero_one_loss_items=("conf_coefficient",),
         zero_one_loss_weights=(0.0001,),
+        superset_P=32, SR_budget=-1,
         maximum_step=200000,
     )
     return base.replace(**overrides) if overrides else base
@@ -553,10 +559,38 @@ def dtu_gen_preset(**overrides) -> Options:
     return base.replace(**overrides) if overrides else base
 
 
+def dtu_inf_preset(scan: str = "scan1", **overrides) -> Options:
+    """Feed-forward DTU inference (reference: dev_scripts/dtu_test_inf/
+    inftest_scan{1,8,21,103,114}.sh — maximum_step=0, perspective-frustum
+    querier (wcoord_query defaults to 0 there), z-buffered occlusion warp
+    (depth_occ=1), geo_cnsst_num=10, full_comb=2)."""
+    base = Options(
+        experiment=f"dtu_inf_{scan}", dataset_name="dtu",
+        model="mvs_points_volumetric", feedforward=1, scan=scan,
+        img_wh=(640, 512), ref_vid=0, depth_vid="0", init_view_num=3,
+        manual_depth_view=1, manual_std_depth=0.0, num_each_depth=1,
+        depth_conf_thresh=0.8, geo_cnsst_num=10, depth_grid=128,
+        full_comb=2, default_conf=1.0, depth_occ=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        point_conf_mode="01", point_dir_mode="01", point_color_mode="01",
+        agg_feat_xyz_mode="None", agg_alpha_xyz_mode="None",
+        agg_color_xyz_mode="None", agg_axis_weight=(1.0, 1.0, 1.0),
+        agg_dist_pers=20, agg_intrp_order=1, agg_distance_kernel="linear",
+        shpnt_jitter="uniform", wcoord_query=0,
+        vscale=(2, 2, 1), kernel_size=(3, 3, 3), query_size=(3, 3, 3),
+        SR=40, K=8, P=20, z_depth_dim=400, max_o=1000000,
+        radius_limit_scale=0.0, depth_limit_scale=0.0,
+        random_sample_size=48, bg_color="black", maximum_step=0,
+    )
+    return base.replace(**overrides) if overrides else base
+
+
 PRESETS = {
     "nerf_synth": nerf_synth_preset,
     "scannet": scannet_preset,
     "tt": tt_preset,
     "dtu_ft": dtu_ft_preset,
     "dtu_gen": lambda scan="": dtu_gen_preset(),
+    "dtu_inf": dtu_inf_preset,
 }

@@ -35,6 +35,22 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
     raydir = batch["raydir"]
     campos = batch["campos"]
 
+    if opt.wcoord_query == 0:
+        # perspective-frustum path (reference query_point_indices.py): a fresh
+        # perspective grid per camera, spec must be a frustum GridSpec
+        # (ops.frustum.make_frustum_spec). Returns per-sample ray dirs too.
+        from ..ops.frustum import build_frustum_grid, query_frustum_points
+        xyz = jax.lax.stop_gradient(point_state["xyz"])
+        fgrid, xyz_pers = build_frustum_grid(
+            xyz, point_state["mask"], batch["camrotc2w"], campos, spec)
+        sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask = \
+            query_frustum_points(
+                raydir, batch["camrotc2w"], campos, xyz_pers, fgrid, spec,
+                SR=opt.SR, K=opt.K, jitter=opt.shpnt_jitter, key=key,
+                is_train=is_train)
+        return (sample_pidx, jax.lax.stop_gradient(sample_loc_w), ray_mask,
+                jax.lax.stop_gradient(sample_ray_dirs))
+
     # 1. raw depth samples (reference point_query.py:78-81: jitter 0.3 at train)
     gen = raygen.find_ray_generation_method(
         "near_far_disparity_linear" if opt.inverse > 0 else "near_far_linear")
@@ -63,15 +79,29 @@ def render_shade(agg_params: Dict,
     campos = batch["campos"]
     camrotc2w = batch["camrotc2w"]
     B, R, _ = raydir.shape
-    sample_pidx, sample_loc_w, ray_mask = query_out
+    if len(query_out) == 4:
+        # frustum path: the querier supplies per-sample ray dirs
+        # (reference query_points :101 returns sample_ray_dirs_tensor)
+        sample_pidx, sample_loc_w, ray_mask, sample_ray_dirs = query_out
+    else:
+        sample_pidx, sample_loc_w, ray_mask = query_out
+        sample_ray_dirs = None
 
     # 3. gather neighbor attributes; perspective coords of shading locations
     sample_loc = w2pers(sample_loc_w, camrotc2w, campos)
-    sample_ray_dirs = jnp.broadcast_to(raydir[:, :, None, :], sample_loc.shape)
+    if sample_ray_dirs is None:
+        sample_ray_dirs = jnp.broadcast_to(raydir[:, :, None, :],
+                                           sample_loc.shape)
 
     # 4. aggregate → per-shading-point [sigma, rgb]
     SR = sample_loc.shape[2]
     Nc = int(opt.SR_budget)
+    if Nc < 0:
+        # auto budget: 25% of the row space, multiple of 128 lanes. Real
+        # scenes leave most (ray, shading) rows empty (reference exploits
+        # this with dynamic-shape compaction); overflow is counted in
+        # output["sr_overflow"] so drivers can bump the budget.
+        Nc = max(128, -(-(B * R * SR) // 512) * 128)
     use_compaction = 0 < Nc < B * R * SR and not prob
     if use_compaction:
         # global valid-row compaction: on real scenes most (ray, shading)
@@ -116,7 +146,9 @@ def render_shade(agg_params: Dict,
         conf_coefficient = scatter_back(c_conf)
         ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
         decoded = decoded * ray_valid[..., None].astype(decoded.dtype)
+        sr_overflow = jnp.maximum(cum[-1] - Nc, 0)
     else:
+        sr_overflow = jnp.zeros((), jnp.int32)
         g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
         decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
             agg_params, opt,
@@ -161,6 +193,8 @@ def render_shade(agg_params: Dict,
         "weight": jax.lax.stop_gradient(weight),
         "blend_weight": jax.lax.stop_gradient(blend_weight),
         "conf_coefficient": conf_coefficient,
+        # valid rows dropped by the compaction budget (0 = compaction exact)
+        "sr_overflow": sr_overflow,
     }
 
     # bg_ray composition (reference fill_invalid :103-105): rays that hit keep their

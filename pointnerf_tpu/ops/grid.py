@@ -45,6 +45,9 @@ class GridSpec:
     vsize: Tuple[float, float, float]        # unscaled voxel size (for shading dists)
     query_max_voxels: int = 0                # cull neighbor voxels to T nearest (0 = off)
     superset_P: int = 0                      # per-voxel neighborhood superset size (0 = off)
+    depth_limit: float = 0.0                 # z-axis neighbor cap (frustum query); 0 = off
+    pers_metric: bool = False                # True: radius_limit on xy + depth_limit on z
+                                             # (perspective-frustum metric); False: spherical
 
     @property
     def grid_size_vol(self) -> int:

@@ -190,7 +190,17 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     cand_idx = rows[..., 3].astype(jnp.int32).reshape(B, R, SR, O * P)
     d2 = jnp.sum(jnp.square(cxyz - sample_loc[..., None, None, :]), axis=-1)
     valid = (slot[..., None] >= 0) & (d2 < 1.0e15)           # padded tiles → far
-    if spec.radius_limit > 0:
+    if spec.pers_metric:
+        # frustum metric (reference query_point_indices.py:476): radius cap on
+        # perspective xy, separate depth cap on z
+        diff = cxyz - sample_loc[..., None, None, :]
+        if spec.radius_limit > 0:
+            dxy2 = jnp.sum(jnp.square(diff[..., :2]), axis=-1)
+            valid = valid & (dxy2 <= spec.radius_limit * spec.radius_limit)
+        if spec.depth_limit > 0:
+            valid = valid & (jnp.square(diff[..., 2])
+                             <= spec.depth_limit * spec.depth_limit)
+    elif spec.radius_limit > 0:
         valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
     d2 = jnp.where(valid, d2, BIG).reshape(B, R, SR, O * P)
 

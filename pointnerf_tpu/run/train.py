@@ -108,7 +108,10 @@ def gen_train_step_impl(state: GenTrainState, sample: Dict, batch: Dict,
     def loss_fn(agg_params, mvs_train):
         mvs_params = dict(mvs_train, **state.mvs_frozen)
         point_state = feedforward_point_state(mvs_params, opt, sample, k_pts)
-        grid = build_grid(point_state["xyz"], point_state["mask"], spec)
+        # frustum mode builds its own per-camera perspective grid inside
+        # render_query; the world grid would be dead weight
+        grid = None if opt.wcoord_query == 0 else \
+            build_grid(point_state["xyz"], point_state["mask"], spec)
         output = render_forward(agg_params, point_state, grid, spec, opt,
                                 batch, k_render, is_train=True,
                                 compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
@@ -143,7 +146,8 @@ def gen_eval_impl(state: GenTrainState, sample: Dict, batch: Dict,
                   key: jax.Array, opt, spec: GridSpec) -> Dict:
     mvs_params = dict(state.mvs_train, **state.mvs_frozen)
     point_state = feedforward_point_state(mvs_params, opt, sample, key)
-    grid = build_grid(point_state["xyz"], point_state["mask"], spec)
+    grid = None if opt.wcoord_query == 0 else \
+        build_grid(point_state["xyz"], point_state["mask"], spec)
     return render_forward(state.agg_params, point_state, grid, spec, opt,
                           batch, key=None, is_train=False,
                           compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
@@ -155,6 +159,17 @@ gen_eval_step = jax.jit(gen_eval_impl, static_argnames=("opt", "spec"))
 def sample_to_device(sample: Dict) -> Dict:
     return {k: jnp.asarray(v) for k, v in sample.items()
             if k not in ("scan", "view_ids")}
+
+
+def make_render_spec(opt, ds, n_pts: int) -> GridSpec:
+    """World grid spec, or a frustum spec when --wcoord_query 0 (the
+    reference's default perspective querier; dtu_test_inf scripts use it)."""
+    if opt.wcoord_query == 0:
+        from ..ops.frustum import make_frustum_spec
+        return make_frustum_spec(
+            opt, ds.intrinsics[0], opt.img_wh[0], opt.img_wh[1],
+            float(ds.near_far[0]), float(ds.near_far[1]))
+    return make_grid_spec(opt, max_points=n_pts)
 
 
 def inference(opt: Options, state: Optional[GenTrainState] = None,
@@ -172,7 +187,7 @@ def inference(opt: Options, state: Optional[GenTrainState] = None,
     test_ds = create_dataset(opt, split="test")
     n_pts = len(str(opt.depth_vid)) * opt.num_each_depth \
         * opt.img_wh[0] * opt.img_wh[1]
-    spec = make_grid_spec(opt, max_points=n_pts)
+    spec = make_render_spec(opt, test_ds, n_pts)
     if state is None:
         key, sub = jax.random.split(key)
         state = create_gen_state(opt, sub)
@@ -225,7 +240,7 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     # point count (one point per depth-view pixel)
     n_pts = len(str(opt.depth_vid)) * opt.num_each_depth \
         * opt.img_wh[0] * opt.img_wh[1]
-    spec = make_grid_spec(opt, max_points=n_pts)
+    spec = make_render_spec(opt, train_ds, n_pts)
 
     key, sub = jax.random.split(key)
     state = create_gen_state(opt, sub)

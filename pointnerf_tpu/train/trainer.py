@@ -152,13 +152,18 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                                  jax.random.fold_in(key, idx))
                 return {k: out[k] for k in
                         ("coarse_raycolor", "ray_mask", "conf_coefficient",
-                         "weight")}
+                         "weight", "sr_overflow")}
             outs = jax.lax.map(body, chunks)
+            overflow = jnp.sum(outs.pop("sr_overflow"))
             output = {k: v.swapaxes(0, 1).reshape((1, R) + v.shape[3:])
                       for k, v in outs.items()}
+            output["sr_overflow"] = overflow
         else:
             output = run_render(agg_params, pt_train, batch, key)
         total, items = compute_losses(opt, output, batch["gt_image"])
+        # compaction-budget overflow (valid rows rendered empty): drivers log
+        # it and can raise opt.SR_budget when it is persistently nonzero
+        items["sr_overflow"] = output["sr_overflow"].astype(jnp.float32)
         return total, items
 
     (_, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rays", type=int, default=3600)
     ap.add_argument("--sr-budget", type=int, default=0)
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    ap.add_argument("--occupancy", action="store_true",
+                    help="also print valid (ray,shading) row stats")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +57,8 @@ def main():
     over = {"random_sample_size": rss}
     if args.sr_budget:
         over["SR_budget"] = args.sr_budget
+    if args.dtype:
+        over["compute_dtype"] = args.dtype
     opt, state, spec, grid, ts, batch = make_workload(**over)
     R = args.rays
     S = args.iters
@@ -63,6 +68,16 @@ def main():
           f"SR_budget={opt.SR_budget} iters/scan={S}")
 
     point_state = trainer.point_state_of(ts)
+
+    if args.occupancy:
+        q = jax.jit(lambda: render_query(point_state, grid, spec, opt, batch,
+                                         key0, is_train=True))()
+        pidx, _, raym = q
+        rows_valid = jnp.any(pidx >= 0, axis=-1)
+        print(f"occupancy: valid rows {float(jnp.mean(rows_valid)):.4f} "
+              f"({int(jnp.sum(rows_valid))}/{rows_valid.size}), "
+              f"rays hit {float(jnp.mean(raym)):.4f}, "
+              f"neighbor slots filled {float(jnp.mean(pidx >= 0)):.4f}")
 
     @jax.jit
     def query_scan():
@@ -88,7 +103,11 @@ def main():
         def body(c, i):
             items, g_net, g_pts = trainer.compute_grads_impl(
                 ts, grid, batch, jax.random.fold_in(key0, i), opt, spec)
-            leaves = [jnp.sum(l) for l in jax.tree.leaves(g_net)]
+            # consume BOTH grad groups — otherwise XLA dead-code-eliminates
+            # the point-attribute scatter-add backward and its cost shows up
+            # in the "adam" bucket instead
+            leaves = [jnp.sum(l) for l in
+                      jax.tree.leaves(g_net) + jax.tree.leaves(g_pts)]
             return c + items["loss_total"] + sum(leaves), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(S))
         return c

@@ -1,0 +1,249 @@
+"""Perspective-frustum querier (wcoord_query==0) vs a numpy oracle.
+
+Reference semantics: models/neural_points/query_point_indices.py — per-camera
+perspective grid, pixel rays as fixed (x/z, y/z) columns, z-voxel-center
+shading points, kernel-neighborhood KNN with xy-radius + z-depth caps,
+shpnt_jitter, pers2w.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointnerf_tpu.config import Options
+from pointnerf_tpu.ops.camera import w2pers
+from pointnerf_tpu.ops.frustum import (build_frustum_grid, make_frustum_spec,
+                                       query_frustum_points)
+
+
+W, H = 16, 16
+FX = FY = 20.0
+NEAR, FAR = 1.0, 3.0
+
+
+def frustum_opt(**kw):
+    base = dict(
+        z_depth_dim=8, vscale=(1, 1, 1), kernel_size=(3, 3, 3),
+        query_size=(3, 3, 3), max_o=4096, P=4, K=3, SR=4,
+        radius_limit_scale=0.0, depth_limit_scale=0.0,
+        shpnt_jitter="passfunc",
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def intrinsic():
+    return np.array([[FX, 0, W / 2.0], [0, FY, H / 2.0], [0, 0, 1]],
+                    np.float32)
+
+
+def make_scene(n=150, seed=0):
+    """Points uniformly inside the frustum; camera at origin, rot=I (+z fwd)."""
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(0.5, W - 0.5, n)
+    py = rng.uniform(0.5, H - 0.5, n)
+    z = rng.uniform(NEAR + 0.05, FAR - 0.05, n)
+    x = (px - W / 2.0) / FX * z
+    y = (py - H / 2.0) / FY * z
+    xyz = np.stack([x, y, z], -1).astype(np.float32)
+    camrot = np.eye(3, dtype=np.float32)[None]
+    campos = np.zeros((1, 3), np.float32)
+    return xyz, camrot, campos
+
+
+def pixel_rays(pixels):
+    """[M,2] pixel coords -> [1,M,3] unit world ray dirs (identity camera)."""
+    d = np.stack([(pixels[:, 0] + 0.5 - W / 2.0) / FX,
+                  (pixels[:, 1] + 0.5 - H / 2.0) / FY,
+                  np.ones(len(pixels))], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return d[None].astype(np.float32)
+
+
+def test_frustum_spec_geometry():
+    opt = frustum_opt()
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    # perspective ranges straight from the intrinsics (reference :60-66)
+    assert spec.ranges_min == pytest.approx((-W / 2 / FX, -H / 2 / FY, NEAR))
+    assert spec.vdim == (W, H, 8)
+    assert spec.vsize[0] == pytest.approx(1.0 / FX)
+    assert spec.vsize[2] == pytest.approx((FAR - NEAR) / 8)
+    assert spec.pers_metric
+
+
+def test_frustum_query_matches_oracle():
+    opt = frustum_opt()
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene()
+    n = len(xyz)
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(n, bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+
+    rng = np.random.RandomState(1)
+    pixels = rng.randint(0, W, (20, 2)).astype(np.float64)
+    raydir = pixel_rays(pixels)
+    pidx, loc_w, sdirs, ray_mask = query_frustum_points(
+        jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+        xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
+    pidx = np.asarray(pidx)
+    loc_w = np.asarray(loc_w)
+
+    # ---- numpy oracle in perspective space
+    pers = np.asarray(xyz_pers)
+    mn = np.asarray(spec.ranges_min)
+    vs = np.asarray(spec.scaled_vsize)
+    vdim = np.asarray(spec.vdim)
+    vox = np.floor((pers - mn) / vs).astype(np.int64)
+    occ = np.zeros(vdim, bool)
+    for v in vox:
+        if np.all(v >= 0) and np.all(v < vdim):
+            occ[tuple(v)] = True
+    # dilate by query_size (3,3,3)
+    dil = np.zeros_like(occ)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                src = occ[max(0, -dx):vdim[0] - max(0, dx),
+                          max(0, -dy):vdim[1] - max(0, dy),
+                          max(0, -dz):vdim[2] - max(0, dz)]
+                dil[max(0, dx):vdim[0] - max(0, -dx),
+                    max(0, dy):vdim[1] - max(0, -dy),
+                    max(0, dz):vdim[2] - max(0, -dz)] |= src
+
+    for r in range(20):
+        xp = (pixels[r, 0] + 0.5 - W / 2.0) / FX
+        yp = (pixels[r, 1] + 0.5 - H / 2.0) / FY
+        cx, cy = int((xp - mn[0]) / vs[0]), int((yp - mn[1]) / vs[1])
+        zs = [d for d in range(vdim[2]) if dil[cx, cy, d]][: opt.SR]
+        assert bool(ray_mask[0, r]) == (
+            len(zs) > 0 and np.any(pidx[0, r] >= 0)) or len(zs) == 0
+        for s, zd in enumerate(zs):
+            # shading loc = perspective voxel center on the pixel ray
+            center = np.array([xp, yp, mn[2] + (zd + 0.5) * vs[2]])
+            got_w = loc_w[0, r, s]
+            # world loc round-trips through w2pers to the perspective center
+            back = np.asarray(w2pers(jnp.asarray(got_w[None, None, None]),
+                                     jnp.asarray(camrot),
+                                     jnp.asarray(campos)))[0, 0, 0]
+            np.testing.assert_allclose(back, center, atol=1e-5)
+            # KNN oracle over the kernel neighborhood
+            cands = []
+            cvox = np.floor((center - mn) / vs).astype(np.int64)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        v = cvox + np.array([dx, dy, dz])
+                        if np.any(v < 0) or np.any(v >= vdim):
+                            continue
+                        idxs = [i for i in range(n)
+                                if np.all(vox[i] == v)][: spec.P]
+                        cands += idxs
+            got = set(int(i) for i in pidx[0, r, s] if i >= 0)
+            if not cands:
+                assert got == set()
+                continue
+            cands = np.asarray(sorted(set(cands)))
+            d2 = np.sum((pers[cands] - center) ** 2, -1)
+            expect = set(cands[np.argsort(d2)[: opt.K]].tolist())
+            assert got == expect, (r, s, got, expect)
+
+
+def test_frustum_depth_limit():
+    """z-depth cap excludes same-column points from far z layers
+    (reference :476: separate depth_limit2 test on the z axis)."""
+    opt = frustum_opt(depth_limit_scale=1.0, kernel_size=(3, 3, 3))
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    assert spec.depth_limit == pytest.approx(spec.vsize[2])
+    # two points on the same pixel ray, one z-voxel apart (0.25 world units),
+    # third point two voxels away (0.5 > depth_limit 0.25)
+    z = np.array([1.375, 1.625, 1.875], np.float32)
+    xyz = np.stack([0.1 * z, 0.1 * z, z], -1).astype(np.float32)
+    camrot = np.eye(3, dtype=np.float32)[None]
+    campos = np.zeros((1, 3), np.float32)
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(3, bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+    raydir = np.array([[[0.1, 0.1, 1.0]]], np.float32)
+    raydir /= np.linalg.norm(raydir, axis=-1, keepdims=True)
+    pidx, _, _, _ = query_frustum_points(
+        jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+        xyz_pers, grid, spec, SR=4, K=3)
+    first = set(int(i) for i in np.asarray(pidx)[0, 0, 0] if i >= 0)
+    # sample 0 sits at point 0's voxel center: point 1 within one voxel, point
+    # 2 at 2 voxels -> excluded by the depth cap
+    assert 0 in first and 2 not in first
+
+
+def test_frustum_jitter_bounds():
+    opt = frustum_opt(shpnt_jitter="uniform")
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene()
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(len(xyz), bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+    pixels = np.stack([np.arange(10), np.arange(10)], -1).astype(np.float64)
+    raydir = pixel_rays(pixels)
+    args = (jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+            xyz_pers, grid, spec)
+    _, base_w, _, _ = query_frustum_points(*args, SR=4, K=3)
+    _, jit_w, _, _ = query_frustum_points(
+        *args, SR=4, K=3, jitter="uniform", key=jax.random.PRNGKey(3),
+        is_train=True)
+    base = np.asarray(w2pers(base_w, jnp.asarray(camrot), jnp.asarray(campos)))
+    jit = np.asarray(w2pers(jit_w, jnp.asarray(camrot), jnp.asarray(campos)))
+    valid = np.isfinite(base[..., 2]) & (np.abs(base[..., 2]) > 1e-3) \
+        & (np.abs(jit[..., 2]) > 1e-3)
+    dz = np.abs(jit[..., 2] - base[..., 2])[valid]
+    assert dz.max() <= spec.vsize[2] / 2 + 1e-5
+    assert dz.max() > 1e-6  # it actually jittered
+    # xy perspective coords untouched (z-only jitter, reference :104-116)
+    np.testing.assert_allclose(jit[..., :2][valid], base[..., :2][valid],
+                               atol=1e-5)
+
+
+def test_render_forward_frustum_mode():
+    """renderer integration: wcoord_query==0 renders finite colors and
+    produces grads for the aggregator."""
+    from pointnerf_tpu.models import neural_points as npc
+    from pointnerf_tpu.models.aggregator import init_aggregator_params
+    from pointnerf_tpu.models.renderer import render_forward
+
+    opt = frustum_opt(
+        wcoord_query=0, point_features_dim=8, shading_feature_num=16,
+        shading_feature_mlp_layer1=1, shading_feature_mlp_layer3=1,
+        num_feat_freqs=0, dist_xyz_freq=2, agg_intrp_order=2,
+        num_viewdir_freqs=2, z_depth_dim=8, SR=4, K=3,
+        which_ray_generation="near_far_linear",
+        near_plane=NEAR, far_plane=FAR,
+    )
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene(n=200)
+    rng = np.random.RandomState(2)
+    state = npc.create_point_cloud(
+        xyz, rng.rand(200, 8).astype(np.float32) - 0.5,
+        color=rng.rand(200, 3).astype(np.float32),
+        direction=np.tile(np.array([0, 0, 1], np.float32), (200, 1)),
+        conf=np.ones((200, 1), np.float32))
+    pixels = rng.randint(0, W, (24, 2)).astype(np.float64)
+    batch = {
+        "raydir": jnp.asarray(pixel_rays(pixels)),
+        "campos": jnp.asarray(campos),
+        "camrotc2w": jnp.asarray(camrot),
+        "near": NEAR, "far": FAR,
+        "bg_color": jnp.ones((1, 3), jnp.float32),
+    }
+    params = init_aggregator_params(jax.random.PRNGKey(0), opt)
+
+    def f(p):
+        out = render_forward(p, state, None, spec, opt, batch,
+                             jax.random.PRNGKey(1), is_train=True)
+        return jnp.sum(out["coarse_raycolor"]), out
+
+    (val, out), grads = jax.value_and_grad(f, has_aux=True)(params)
+    assert np.isfinite(float(val))
+    assert np.asarray(out["coarse_raycolor"]).shape == (1, 24, 3)
+    assert bool(np.any(np.asarray(out["ray_mask"])))
+    gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
