@@ -24,6 +24,20 @@ from . import neural_points as npc
 from .aggregator import aggregator_forward
 
 
+def effective_sr_budget(opt, rows: int) -> int:
+    """Shading-row compaction budget for a row space of `rows` = B·R·SR.
+
+    opt.SR_budget > 0: explicit; -1: auto (1/6 of the row space, rounded up
+    to 128 lanes — real scenes leave most rows empty, the reference exploits
+    the same sparsity with dynamic-shape compaction); 0: off. Drivers watch
+    items["sr_overflow"] and raise the budget when rows get dropped.
+    """
+    Nc = int(opt.SR_budget)
+    if Nc < 0:
+        Nc = max(128, -(-rows // (6 * 128)) * 128)
+    return Nc
+
+
 def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
                  batch: Dict, key: Optional[jax.Array], is_train: bool):
     """Non-differentiable phase: ray samples → voxel walk → KNN indices.
@@ -95,13 +109,7 @@ def render_shade(agg_params: Dict,
 
     # 4. aggregate → per-shading-point [sigma, rgb]
     SR = sample_loc.shape[2]
-    Nc = int(opt.SR_budget)
-    if Nc < 0:
-        # auto budget: 25% of the row space, multiple of 128 lanes. Real
-        # scenes leave most (ray, shading) rows empty (reference exploits
-        # this with dynamic-shape compaction); overflow is counted in
-        # output["sr_overflow"] so drivers can bump the budget.
-        Nc = max(128, -(-(B * R * SR) // 512) * 128)
+    Nc = effective_sr_budget(opt, B * R * SR)
     use_compaction = 0 < Nc < B * R * SR and not prob
     if use_compaction:
         # global valid-row compaction: on real scenes most (ray, shading)

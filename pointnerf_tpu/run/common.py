@@ -255,12 +255,14 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     chunk = opt.random_sample_size ** 2
     maps: Dict[str, np.ndarray] = {}
     pix = item["pixel_idx"][0].astype(np.int64)
+    overflow = 0
     for sub, s, e in chunks_of_item(item, chunk):
         batch = {k: v for k, v in sub.items()
                  if k in ("raydir", "campos", "camrotc2w", "near", "far",
                           "bg_color", "gt_image", "bg_ray")}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         out = trainer.eval_step(ts, grid, batch, opt, spec, prob=prob)
+        overflow += int(out.get("sr_overflow", 0))
         px, py = pix[s:e, 0], pix[s:e, 1]
         for key in keys:
             if key not in out or out[key] is None:
@@ -272,4 +274,9 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
             if key not in maps:
                 maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
             maps[key][py, px] = arr
+    if overflow > 0:
+        # compaction dropped valid shading rows in an EVAL render — a quality
+        # flag: rerun with a larger --SR_budget (or 0 to disable compaction)
+        print(f"[render_image] WARNING: SR_budget overflow, {overflow} valid "
+              f"shading rows rendered empty — raise --SR_budget")
     return maps

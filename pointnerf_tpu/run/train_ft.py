@@ -366,6 +366,24 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 top_miss_ids = top_miss_ids[order]
             visualizer.accumulate_losses(
                 {k: float(v) for k, v in items.items()})
+
+        # ------------------------------------------ adaptive compaction budget
+        # sr_overflow > 0 means valid shading rows were rendered empty this
+        # dispatch (static-shape stand-in for the reference's dynamic
+        # compaction). Raise the budget 1.5x — a rare recompile, same
+        # numerics once the budget covers the scene again.
+        overflow = max((float(it.get("sr_overflow", 0.0))
+                        for it in step_items), default=0.0)
+        if overflow > 0:
+            from ..models.renderer import effective_sr_budget
+            rows = opt.random_sample_size ** 2 * opt.SR
+            cur = effective_sr_budget(opt, rows)
+            new = min(rows, -(-int(cur * 1.5) // 128) * 128)
+            if 0 < cur < new:
+                opt = opt.replace(SR_budget=new)
+                visualizer.print_details(
+                    f"SR_budget overflow at {total_steps} "
+                    f"({int(overflow)} rows dropped): budget {cur} -> {new}")
         if total_steps % opt.print_freq == 0:
             visualizer.print_losses(total_steps, extra=timer.summary())
             timer.reset()

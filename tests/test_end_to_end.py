@@ -203,6 +203,15 @@ def test_sr_budget_compaction_matches_full():
     col = np.asarray(out_t["coarse_raycolor"])
     assert np.isfinite(col).all()
 
+    # overflow counter: 0 when the budget covers every valid row, exactly
+    # the dropped-row count when it does not
+    from pointnerf_tpu.models.renderer import render_query
+    q = render_query(trainer.point_state_of(ts), grid, spec, opt, batch,
+                     None, is_train=False)
+    n_valid = int(np.sum(np.any(np.asarray(q[0]) >= 0, axis=-1)))
+    assert int(out_c["sr_overflow"]) == 0
+    assert int(out_t["sr_overflow"]) == max(0, n_valid - 64)
+
     # training works through the compacted path
     gt, _ = make_gt(batch)
     b2 = dict(batch, gt_image=gt)
