@@ -213,6 +213,12 @@ class Options:
     mvs_img_wh: Tuple[int, ...] = _t(0, 0)   # MVS-net input size (0 = img_wh)
     num_each_depth: int = 1
     depth_grid: int = 128
+    # learned-probability init (manual_depth_view == -1; reference
+    # mvs_points_model.py:90-97, models.py:813-821)
+    pad: int = 24                            # cost-volume spatial pad (pixels at feature res)
+    dprob_thresh: float = 0.8                # prob_filter mass threshold
+    num_neighbor: int = 1                    # prob_filter window (depth slices)
+    mvs_point_sampler: str = "gau_single_sampler"
 
     # ---------------------------------------------------------------- data
     n_threads: int = 1

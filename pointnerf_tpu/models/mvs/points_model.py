@@ -156,10 +156,13 @@ class MvsPointsParams(dict):
 
 
 def init_mvs_points_params(key, opt) -> Dict:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     p = {"mvsnet": init_mvsnet(k1), "featurenet": init_fpn_featurenet(k2)}
     if opt.shading_feature_mlp_layer0 > 0:
         p["premlp"] = init_premlp(k3, opt)
+    if opt.manual_depth_view == -1:
+        from .probnet import init_probnet
+        p["probnet"] = init_probnet(k4)
     return p
 
 
@@ -199,6 +202,67 @@ def query_embedding(params: Dict, opt, img_feats, cam_xyz: jnp.ndarray,
     return emb, colors, dirs, pconf
 
 
+def _gen_points_probnet(params: Dict, opt, sample: Dict, key, imgs,
+                        depth_vids, near_far, intrinsics, w2cs, c2ws,
+                        training: bool) -> Dict[str, jnp.ndarray]:
+    """Learned-probability init (manual_depth_view == -1): cost volume →
+    ProbNet depth distribution → gaussian point sampling at the padded
+    feature grid (reference mvs_points_model.py:282-296; see
+    probnet.py for the documented deltas). Cost-volume dims (depth_grid and
+    the padded feature grid) must be divisible by 8 for the 3D U-Net."""
+    from .probnet import probnet_forward, prob_moments, prob_filter_mass
+
+    V, _, H, W = imgs.shape
+    img_feats = fpn_featurenet(params["featurenet"], imgs, training)
+    feats = img_feats[-1]                                  # [V,32,h,w]
+    h, w = feats.shape[-2:]
+    D = opt.depth_grid
+    dvals = near_far[0] + (near_far[1] - near_far[0]) * \
+        jnp.linspace(0.0, 1.0, D)                          # camera depths
+    proj_all = jnp.asarray(sample["proj_mats"])            # [V,V,3,4] (1/4 res)
+
+    out = {"xyz_w": [], "embedding": [], "color": [], "dir": [], "conf": [],
+           "keep": []}
+    for vid in depth_vids:
+        prob = probnet_forward(params["probnet"], imgs, feats,
+                               proj_all[vid], dvals, pad=opt.pad, vid=vid,
+                               training=training)          # [D,hp,wp]
+        e, std = prob_moments(prob)
+        mass = prob_filter_mass(prob, e, opt.num_neighbor)
+        mask = mass > opt.dprob_thresh
+        hp, wp = e.shape
+
+        key, sub = jax.random.split(key)
+        N = opt.num_each_depth
+        noise = jax.random.normal(sub, (N,) + e.shape)
+        sampled = jnp.clip(e[None] + std[None] * noise, 0.0, 1.0)
+
+        # feature-resolution intrinsic, principal point shifted by pad
+        scale = h / H
+        K = intrinsics[vid]
+        K_feat = jnp.asarray(
+            [[K[0, 0] * scale, 0.0, K[0, 2] * scale + opt.pad],
+             [0.0, K[1, 1] * scale, K[1, 2] * scale + opt.pad],
+             [0.0, 0.0, 1.0]], jnp.float32)
+        cam_xyz = depth2point(sampled, K_feat, near_far).reshape(-1, 3)
+
+        conf_rows = jnp.tile(mass.reshape(-1, 1), (N, 1))
+        keep_rows = jnp.tile(mask.reshape(-1), (N,))
+        emb, col, drs, cf = query_embedding(
+            params, opt, img_feats, cam_xyz, conf_rows,
+            intrinsics, c2ws, w2cs, H, W, vid)
+        ones = jnp.ones_like(cam_xyz[:, :1])
+        xyz_w = (jnp.concatenate([cam_xyz, ones], -1)
+                 @ jnp.linalg.inv(w2cs[vid]).T)[:, :3]
+        out["xyz_w"].append(xyz_w)
+        out["embedding"].append(emb)
+        out["color"].append(col)
+        out["dir"].append(drs)
+        out["conf"].append(cf)
+        out["keep"].append(keep_rows)
+    return {k: jnp.concatenate(v, axis=0) for k, v in out.items()}
+
+
 def gen_points(params: Dict, opt, sample: Dict, key,
                training: bool = False) -> Dict[str, np.ndarray]:
     """Depth estimation + fusion + embedding for one init view bundle
@@ -216,6 +280,10 @@ def gen_points(params: Dict, opt, sample: Dict, key,
     intrinsics = jnp.asarray(sample["intrinsics"])
     w2cs = jnp.asarray(sample["w2cs"])
     c2ws = jnp.asarray(sample["c2ws"])
+
+    if opt.manual_depth_view == -1:
+        return _gen_points_probnet(params, opt, sample, key, imgs, depth_vids,
+                                   near_far, intrinsics, w2cs, c2ws, training)
 
     depths, confs, nf_masks = [], [], []
     for vid in depth_vids:

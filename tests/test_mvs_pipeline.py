@@ -364,3 +364,51 @@ def test_gen_points_far_plane_shift(scene):
     assert dist.min() > 4.9, dist.min()
     # foreground points still on the plate
     assert np.abs(xyz[~shell][:, 2]).max() < 1e-2
+
+
+def test_gen_points_probnet_mode(tmp_path_factory):
+    """manual_depth_view == -1: learned-prob init produces finite points
+    inside the frustum, prob volumes normalize, and gradients flow into
+    ProbNet (it trains end-to-end through conf/xyz)."""
+    root = str(tmp_path_factory.mktemp("mvs_prob"))
+    make_nerf_synth_scene(root, wh=(64, 64), n_train=8, n_test=2)
+    opt = Options(
+        data_root=root, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(64, 64), near_plane=2.0, far_plane=4.5, bg_color="white",
+        manual_depth_view=-1, init_view_num=3, depth_vid="0",
+        depth_grid=16, pad=8, num_neighbor=3, dprob_thresh=0.05,
+        num_each_depth=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        full_comb=1,
+    )
+    ds = create_dataset(opt, split="train")
+    sample = ds.get_init_item(0)
+    params = pm.init_mvs_points_params(jax.random.PRNGKey(0), opt)
+    assert "probnet" in params
+
+    out = pm.gen_points(params, opt, sample, jax.random.PRNGKey(1))
+    # padded quarter-res grid: (64/4 + 2*8)^2 points per depth view
+    hp = 64 // 4 + 2 * 8
+    assert out["xyz_w"].shape == (hp * hp, 3)
+    assert np.isfinite(np.asarray(out["xyz_w"])).all()
+    assert np.isfinite(np.asarray(out["embedding"])).all()
+    conf = np.asarray(out["conf"])
+    assert conf.min() >= 0 and conf.max() <= 1 + 1e-5
+    assert np.asarray(out["keep"]).sum() > 0  # low thresh keeps points
+
+    # kept points lie within the near/far camera depth range of view 0
+    w2c = np.asarray(sample["w2cs"][0])
+    keep = np.asarray(out["keep"]).astype(bool)
+    xyz = np.asarray(out["xyz_w"])[keep]
+    z = (np.concatenate([xyz, np.ones_like(xyz[:, :1])], -1) @ w2c.T)[:, 2]
+    assert z.min() >= 2.0 - 1e-3 and z.max() <= 4.5 + 1e-3
+
+    # gradients reach the ProbNet through conf + point positions
+    def f(probnet_params):
+        p2 = dict(params, probnet=probnet_params)
+        o = pm.gen_points(p2, opt, sample, jax.random.PRNGKey(1))
+        return jnp.sum(o["conf"]) + jnp.sum(o["xyz_w"] * 1e-3)
+    g = jax.grad(f)(params["probnet"])
+    gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
