@@ -233,9 +233,17 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
             rows = flat_tiles[jnp.maximum(nb_slot, 0).reshape(-1)]
             rows = rows.reshape(-1, O, spec.P, 4)
             center = (cc.astype(jnp.float32) + 0.5) * vs_j + mn_j
-            d2 = jnp.sum(jnp.square(rows[..., :3]
-                                    - center[:, None, None, :]), axis=-1)
-            bad = (nb_slot[..., None] < 0) | (d2 > 1.0e15)
+            # rank candidates by distance to the voxel CUBE (the nearest any
+            # in-voxel sample can be), center distance as tiebreak: pure
+            # center ranking drops candidates that are the true nearest for
+            # corner samples (measured 0.83 recall at P2=32 on dense
+            # clusters; cube ranking recovers the corner cases)
+            diff = jnp.abs(rows[..., :3] - center[:, None, None, :])
+            d2_cube = jnp.sum(jnp.square(jnp.maximum(
+                diff - 0.5 * vs_j, 0.0)), axis=-1)
+            d2_cent = jnp.sum(jnp.square(diff), axis=-1)
+            d2 = d2_cube + 1e-3 * d2_cent
+            bad = (nb_slot[..., None] < 0) | (d2_cent > 1.0e15)
             d2 = jnp.where(bad, 3.0e38, d2).reshape(-1, O * spec.P)
             rows = rows.reshape(-1, O * spec.P, 4)
             neg, arg = jax.lax.top_k(-d2, P2)
@@ -256,19 +264,38 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
                                 slots_padded.reshape(n_blocks, blk))
         out["super_xyz"] = super_xyz.reshape(-1, 4 * P2)[: spec.max_o]
 
-        # dilated voxel -> nearby occupied slot (same window as coor_occ)
+        # dilated voxel -> NEAREST occupied slot in the query_size window.
+        # (A reduce_window max — "any occupied slot in the window" — shifts
+        # the adopted candidate window by up to a diagonal: a sample one
+        # voxel above a surface could adopt a diagonal neighbor and lose the
+        # points directly below it. Measured on the plate scene: 42% of rows
+        # got a wrong neighbor set. Distance-ordered adoption removes the
+        # systematic shift; runs once per grid rebuild.)
         slot_map = jnp.full((vol,), -1, dtype=jnp.int32)
         slot_map = slot_map.at[scat_lin].set(
             jnp.where(keep & head, slot, -1), mode="drop").reshape(spec.vdim)
         q = spec.query_size
-        pads = tuple(((qq - 1) // 2, qq // 2) for qq in q)
-        dil = jax.lax.reduce_window(
-            slot_map, jnp.int32(-1), jax.lax.max,
-            window_dimensions=q, window_strides=(1, 1, 1),
-            padding=pads).reshape(-1)
-        # occupied voxels use their OWN superset; only empty-but-dilated
-        # voxels adopt a neighbor's
-        out["coor_slot"] = jnp.where(slot_map.reshape(-1) >= 0,
-                                     slot_map.reshape(-1), dil)
+        qoffs = np.stack(np.meshgrid(
+            np.arange(-((q[0] - 1) // 2), q[0] // 2 + 1),
+            np.arange(-((q[1] - 1) // 2), q[1] // 2 + 1),
+            np.arange(-((q[2] - 1) // 2), q[2] // 2 + 1),
+            indexing="ij"), axis=-1).reshape(-1, 3)
+        qoffs = qoffs[np.argsort(np.sum(qoffs.astype(np.float64) ** 2, -1),
+                                 kind="stable")]
+
+        def shift3(a, off):
+            """a [X,Y,Z] shifted so out[v] = a[v + off], -1 outside."""
+            pads, starts = [], []
+            for ax in range(3):
+                o = int(off[ax])
+                pads.append((max(0, -o), max(0, o)))
+                starts.append(max(0, o))
+            p = jnp.pad(a, pads, constant_values=-1)
+            return jax.lax.dynamic_slice(p, starts, a.shape)
+
+        adopt = slot_map
+        for off in qoffs[1:]:                    # (0,0,0) first = own slot
+            adopt = jnp.where(adopt >= 0, adopt, shift3(slot_map, off))
+        out["coor_slot"] = adopt.reshape(-1)
 
     return out

@@ -236,3 +236,38 @@ def test_superset_build_shapes():
     idx = sx[:, 3]
     real = sx[:, 0] < 1e7
     assert ((idx[real] >= 0) & (idx[real] < 500)).all()
+
+
+def test_superset_adoption_above_surface():
+    """A sample in an empty-but-dilated voxel above a surface must adopt the
+    occupied voxel directly beneath it (nearest), not an arbitrary window
+    neighbor — a diagonal adoption loses the points right below the sample
+    (measured 42% wrong neighbor sets before the distance-ordered fix)."""
+    # superset_P=48 >= the 36 in-window candidates: isolates ADOPTION
+    # (capacity truncation is measured separately, scripts/measure_superset.py)
+    opt = small_opt(K=4, P=8, superset_P=48, radius_limit_scale=0.0)
+    # plane of points at z=0.45 (voxel layer z=4), dense in x-y
+    g = np.linspace(0.05, 0.95, 19, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xyz = np.stack([gx, gy, np.full_like(gx, 0.45)], -1).reshape(-1, 3)
+    n = len(xyz)
+    spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
+                          max_points=n)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(n, bool), spec)
+    from pointnerf_tpu.ops.query import knn_neighbors_superset
+
+    # samples one voxel ABOVE the plane (empty, dilated by query_size 3)
+    rng = np.random.RandomState(3)
+    sx = rng.uniform(0.2, 0.8, 32).astype(np.float32)
+    sy = rng.uniform(0.2, 0.8, 32).astype(np.float32)
+    loc = np.stack([sx, sy, np.full_like(sx, 0.55)], -1).reshape(1, 32, 1, 3)
+    mask = jnp.ones((1, 32, 1), bool)
+    got = np.asarray(knn_neighbors_superset(jnp.asarray(loc), mask, grid,
+                                            spec, opt.K))
+    exact = np.asarray(knn_neighbors(jnp.asarray(loc), mask,
+                                     jnp.asarray(xyz), grid, spec, opt.K))
+    for r in range(32):
+        e = set(int(i) for i in exact[0, r, 0] if i >= 0)
+        s = set(int(i) for i in got[0, r, 0] if i >= 0)
+        assert e, r  # dilation must make these samples valid
+        assert s == e, (r, s, e)
