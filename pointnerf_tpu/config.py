@@ -418,6 +418,23 @@ _SCANNET_OVERRIDES = {
 }
 
 
+def nerf_synth_colmap_preset(scan: str = "chair", **overrides) -> Options:
+    """COLMAP-initialized NeRF-Synthetic finetune (reference:
+    dev_scripts/w_colmap_n360/col_{chair,drums,ficus,hotdog,lego,materials,
+    mic,ship}.sh): load_points=1 from the nerf_synthetic_colmap root
+    (colmap_results/dense/fused.ply), pruning disabled, 70-ray-side batches,
+    probe kernel 1³ with a single 60k tier, no zero-one conf loss."""
+    base = nerf_synth_preset(scan).replace(
+        experiment=f"col_{scan}_tpu",
+        load_points=1, prune_thresh=-1.0, prune_iter=-1,
+        random_sample_size=70, prob_num_step=50,
+        prob_kernel_size=(1.0, 1.0, 1.0), prob_tiers=(60000,),
+        vox_res=320,
+        zero_one_loss_items=(), zero_one_loss_weights=(),
+    )
+    return base.replace(**overrides) if overrides else base
+
+
 def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
     """ScanNet per-scene finetune (reference: dev_scripts/w_scannet_etf/scene241.sh)."""
     base = Options(
@@ -594,6 +611,7 @@ def dtu_inf_preset(scan: str = "scan1", **overrides) -> Options:
 
 PRESETS = {
     "nerf_synth": nerf_synth_preset,
+    "nerf_synth_colmap": nerf_synth_colmap_preset,
     "scannet": scannet_preset,
     "tt": tt_preset,
     "dtu_ft": dtu_ft_preset,

@@ -72,3 +72,13 @@ def test_preset_scene_parity():
 
     dtu = PRESETS["dtu_ft"]("scan1")
     assert dtu.bgmodel == "plane" and dtu.dataset_name == "dtu_ft"
+
+    col = PRESETS["nerf_synth_colmap"]("chair")
+    assert col.load_points == 1 and col.prune_iter == -1
+    assert col.random_sample_size == 70 and col.prob_tiers == (60000,)
+    assert col.prob_kernel_size == (1.0, 1.0, 1.0)
+    assert col.zero_one_loss_items == ()
+
+    inf = PRESETS["dtu_inf"]("scan8")
+    assert inf.wcoord_query == 0 and inf.depth_occ == 1
+    assert inf.maximum_step == 0 and inf.geo_cnsst_num == 10
