@@ -27,19 +27,29 @@ PER_CAMERA_KEYS = frozenset({
 
 def make_mesh(n_devices: Optional[int] = None,
               batch_size: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """1×N or B×(N/B) mesh with axes ("batch", "rays").
+              devices: Optional[Sequence] = None,
+              points: int = 1) -> Mesh:
+    """Mesh with axes ("batch", "rays") — or ("batch", "rays", "points")
+    when points > 1.
 
     With batch_size=1 (the reference's per-scene finetune regime) all devices go to
-    the ray axis — the direct analog of DataParallel's ray-batch scatter.
+    the ray axis — the direct analog of DataParallel's ray-batch scatter. The
+    "points" axis shards the point buffers / voxel buckets / their Adam state
+    (HBM capacity scaling for multi-million-point scenes, SURVEY.md §2.2);
+    rays×points is this workload's dp×tp plane.
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = list(devices)[:n_devices]
-    b = int(np.gcd(batch_size, n_devices))
-    arr = np.asarray(devices).reshape(b, n_devices // b)
+    assert n_devices % points == 0, (n_devices, points)
+    nr = n_devices // points
+    b = int(np.gcd(batch_size, nr))
+    if points > 1:
+        arr = np.asarray(devices).reshape(b, nr // b, points)
+        return Mesh(arr, axis_names=("batch", "rays", "points"))
+    arr = np.asarray(devices).reshape(b, nr // b)
     return Mesh(arr, axis_names=("batch", "rays"))
 
 
