@@ -259,3 +259,49 @@ def import_torch_convnet(sd: Dict, prefix: str = "") -> Dict:
         return {kk: listify(v) for kk, v in d.items()}
 
     return listify(out)
+
+
+def import_official_mvsnet(sd: Dict) -> Dict:
+    """Official-MVSNet torch checkpoint -> init_mvsnet param tree.
+
+    Accepts the exact artifact the reference depends on (MVSNet
+    `model_000014.ckpt`, reference mvs_points_model.py:66-73 + lego.sh:31):
+    `torch.save({'model': OrderedDict})` with DataParallel 'module.'
+    prefixes — or a bare state dict. Deconv blocks (conv7/9/11 =
+    Sequential(ConvTranspose3d, BN)) keep the torch IODHW weight layout that
+    conv_transpose3d consumes directly.
+    """
+    if "model" in sd and hasattr(sd["model"], "items"):
+        sd = sd["model"]
+    flat = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        flat[k] = v
+
+    feat_sd = {k[len("feature."):]: v for k, v in flat.items()
+               if k.startswith("feature.")}
+    cr_sd = {k[len("cost_regularization."):]: v for k, v in flat.items()
+             if k.startswith("cost_regularization.")}
+    assert feat_sd and cr_sd, sorted(flat)[:8]
+
+    deconv_names = ("conv7", "conv9", "conv11")
+    plain = {k: v for k, v in cr_sd.items()
+             if k.split(".")[0] not in deconv_names}
+    cost = import_torch_convnet(plain)
+    bn_map = {"weight": "scale", "bias": "bias",
+              "running_mean": "mean", "running_var": "var"}
+    for name in deconv_names:
+        block: Dict = {"conv": {}, "bn": {}}
+        for k, v in cr_sd.items():
+            parts = k.split(".")
+            if parts[0] != name or parts[-1] == "num_batches_tracked":
+                continue
+            arr = jnp.asarray(np.asarray(v, np.float32))
+            if parts[1] == "0":   # ConvTranspose3d (no bias in the official net)
+                block["conv"]["w" if parts[2] == "weight" else "b"] = arr
+            else:                  # BatchNorm3d
+                block["bn"][bn_map[parts[2]]] = arr
+        cost[name] = block
+    return {"feature": import_torch_convnet(feat_sd),
+            "cost_regularization": cost}

@@ -108,6 +108,16 @@ def construct_vox_points_closest(xyz: np.ndarray, vox_res: int,
     return xyz[keep].astype(np.float32), keep
 
 
+def load_pretrained_mvsnet(path: str) -> Dict:
+    """Load the official-MVSNet depth-estimator checkpoint the reference
+    finetune scripts depend on (--pre_d_est MVSNet/model_000014.ckpt,
+    reference mvs_points_model.py:51-73, dev_scripts/w_n360/lego.sh:31)."""
+    import torch
+    from ..models.mvs.nets import import_official_mvsnet
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return import_official_mvsnet(sd)
+
+
 def gen_points_filter_embeddings(opt, dataset, key,
                                  mvs_params: Optional[Dict] = None) -> Dict:
     """BRANCH B of the reference driver (run/train_ft.py:51-167): per-triplet
@@ -119,6 +129,9 @@ def gen_points_filter_embeddings(opt, dataset, key,
     if mvs_params is None:
         key, sub = jax.random.split(key)
         mvs_params = pm.init_mvs_points_params(sub, opt)
+        if opt.pre_d_est:
+            mvs_params = dict(mvs_params,
+                              mvsnet=load_pretrained_mvsnet(opt.pre_d_est))
 
     parts = {k: [] for k in ("xyz_w", "embedding", "color", "dir", "conf")}
     alphas, intr, w2cs = [], [], []

@@ -71,6 +71,9 @@ def create_gen_state(opt, key) -> GenTrainState:
     k1, k2 = jax.random.split(key)
     agg = init_aggregator_params(k1, opt)
     mvs = pm.init_mvs_points_params(k2, opt)
+    if opt.pre_d_est and opt.manual_depth_view > 0:
+        from .common import load_pretrained_mvsnet
+        mvs = dict(mvs, mvsnet=load_pretrained_mvsnet(opt.pre_d_est))
     mvs_train, mvs_frozen = split_mvs_params(mvs)
     net_tx, mvs_tx = make_optimizers(opt)
     return GenTrainState(

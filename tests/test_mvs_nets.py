@@ -159,3 +159,87 @@ def test_fpn_featurenet_shapes():
     assert outs[2].shape == (3, 16, 16, 20)
     assert outs[3].shape == (3, 32, 8, 10)
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+class TorchConvBnReLU3D(tnn.Module):
+    def __init__(self, cin, cout, k=3, stride=1, pad=1):
+        super().__init__()
+        self.conv = tnn.Conv3d(cin, cout, k, stride=stride, padding=pad,
+                               bias=False)
+        self.bn = tnn.BatchNorm3d(cout)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchCostRegNet(tnn.Module):
+    """Replica of reference depth_estimators/mvsnet.py CostRegNet (:29-71)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv0 = TorchConvBnReLU3D(32, 8)
+        self.conv1 = TorchConvBnReLU3D(8, 16, stride=2)
+        self.conv2 = TorchConvBnReLU3D(16, 16)
+        self.conv3 = TorchConvBnReLU3D(16, 32, stride=2)
+        self.conv4 = TorchConvBnReLU3D(32, 32)
+        self.conv5 = TorchConvBnReLU3D(32, 64, stride=2)
+        self.conv6 = TorchConvBnReLU3D(64, 64)
+
+        def up(cin, cout):
+            return tnn.Sequential(
+                tnn.ConvTranspose3d(cin, cout, 3, padding=1,
+                                    output_padding=1, stride=2, bias=False),
+                tnn.BatchNorm3d(cout), tnn.ReLU(inplace=True))
+        self.conv7 = up(64, 32)
+        self.conv9 = up(32, 16)
+        self.conv11 = up(16, 8)
+        self.prob = tnn.Conv3d(8, 1, 3, stride=1, padding=1)
+
+    def forward(self, x):
+        conv0 = self.conv0(x)
+        conv2 = self.conv2(self.conv1(conv0))
+        conv4 = self.conv4(self.conv3(conv2))
+        x = self.conv6(self.conv5(conv4))
+        x = conv4 + self.conv7(x)
+        x = conv2 + self.conv9(x)
+        x = conv0 + self.conv11(x)
+        return self.prob(x)
+
+
+def test_official_mvsnet_checkpoint_roundtrip(tmp_path):
+    """The exact artifact the reference finetune scripts load
+    (torch.save({'model': DataParallel state dict}) — mvs_points_model.py
+    :66-73) must import and reproduce both subnets' forward passes."""
+    import os
+    from collections import OrderedDict
+    from pointnerf_tpu.run.common import load_pretrained_mvsnet
+
+    torch.manual_seed(1)
+    tfeat = TorchOfclFeatureNet().eval()
+    tcost = TorchCostRegNet().eval()
+    for m in list(tfeat.modules()) + list(tcost.modules()):
+        if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm3d)):
+            m.running_mean.data = torch.randn_like(m.running_mean) * 0.1
+            m.running_var.data = torch.rand_like(m.running_var) + 0.5
+
+    sd = OrderedDict()
+    for k, v in tfeat.state_dict().items():
+        sd[f"module.feature.{k}"] = v
+    for k, v in tcost.state_dict().items():
+        sd[f"module.cost_regularization.{k}"] = v
+    path = os.path.join(str(tmp_path), "model_000014.ckpt")
+    torch.save({"model": sd, "optimizer": {}}, path)
+
+    params = load_pretrained_mvsnet(path)
+
+    x2 = RNG.randn(2, 3, 32, 40).astype(np.float32)
+    want = tfeat(torch.from_numpy(x2)).detach().numpy()
+    got = nets.ofcl_featurenet(params["feature"], jnp.asarray(x2),
+                               training=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    x3 = RNG.randn(1, 32, 16, 8, 8).astype(np.float32)
+    want3 = tcost(torch.from_numpy(x3)).detach().numpy()
+    got3 = nets.costregnet(params["cost_regularization"], jnp.asarray(x3),
+                           training=False)
+    np.testing.assert_allclose(np.asarray(got3), want3, atol=3e-4)
