@@ -121,3 +121,27 @@ def test_feedforward_inference(dtu_root, tmp_path):
     assert os.path.exists(os.path.join(
         str(tmp_path), "dtu_gen", "images", "inference",
         "step-0000-coarse_raycolor.png"))
+
+
+def test_feedforward_inference_frustum(dtu_root, tmp_path):
+    """wcoord_query=0 routes inference through the perspective-frustum
+    querier with a per-camera grid (the dtu_test_inf default path)."""
+    opt = gen_opt(dtu_root, out=str(tmp_path), maximum_step=0,
+                  random_sample_size=16, wcoord_query=0,
+                  z_depth_dim=16, vscale=(2, 2, 1), P=16,
+                  radius_limit_scale=0.0, depth_limit_scale=0.0,
+                  shpnt_jitter="uniform")
+    res = gen_train.main(opt)
+    assert np.isfinite(res["psnr"])
+    assert res["n"] == 6
+
+
+def test_generalizable_training_frustum(dtu_root, tmp_path):
+    """Gradients flow through the frustum-queried render (per-step
+    perspective grid build inside the jit)."""
+    opt = gen_opt(dtu_root, out=str(tmp_path), maximum_step=4,
+                  wcoord_query=0, z_depth_dim=16, vscale=(2, 2, 1), P=16,
+                  radius_limit_scale=0.0, depth_limit_scale=0.0)
+    res = gen_train.main(opt)
+    assert res["total_steps"] == 4
+    assert np.isfinite(res["last_items"]["loss_total"])
