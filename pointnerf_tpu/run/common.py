@@ -275,7 +275,16 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                           "bg_color", "gt_image", "bg_ray")}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         out = trainer.eval_step(ts, grid, batch, opt, spec, prob=prob)
-        overflow += int(out.get("sr_overflow", 0))
+        chunk_overflow = int(out.get("sr_overflow", 0))
+        if chunk_overflow > 0 and int(opt.SR_budget) != 0:
+            # compaction dropped valid shading rows in this EVAL chunk; retry
+            # with compaction off so the image stays exact. One extra compiled
+            # program shape, reused for every overflowing chunk (the reference
+            # never drops eval rows: its compaction is dynamic-shape,
+            # run/train_ft.py:283-322).
+            out = trainer.eval_step(ts, grid, batch, opt.replace(SR_budget=0),
+                                    spec, prob=prob)
+            overflow += chunk_overflow
         px, py = pix[s:e, 0], pix[s:e, 1]
         for key in keys:
             if key not in out or out[key] is None:
@@ -288,8 +297,7 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                 maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
             maps[key][py, px] = arr
     if overflow > 0:
-        # compaction dropped valid shading rows in an EVAL render — a quality
-        # flag: rerun with a larger --SR_budget (or 0 to disable compaction)
-        print(f"[render_image] WARNING: SR_budget overflow, {overflow} valid "
-              f"shading rows rendered empty — raise --SR_budget")
+        # informational only — the overflowing chunks were re-rendered exactly
+        print(f"[render_image] note: SR_budget overflow on {overflow} shading "
+              f"rows; affected chunks re-rendered with compaction off")
     return maps

@@ -220,6 +220,37 @@ def test_sr_budget_compaction_matches_full():
     assert np.isfinite(float(items["loss_total"]))
 
 
+def test_render_image_overflow_retry_is_exact():
+    """render_image must re-render chunks whose valid shading rows exceed
+    SR_budget with compaction off, so eval images are never degraded by a
+    training-time budget (reference never drops eval rows: its compaction is
+    dynamic-shape, run/train_ft.py:283-322)."""
+    from pointnerf_tpu.run.common import render_image
+
+    opt, state, spec, grid, batch, _ = tiny_setup(R_side=8)
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    R = int(batch["raydir"].shape[1])
+    side = int(np.sqrt(R))
+    ii, jj = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    item = {
+        "raydir": np.asarray(batch["raydir"]),
+        "campos": np.asarray(batch["campos"]),
+        "camrotc2w": np.asarray(batch["camrotc2w"]),
+        "near": batch["near"], "far": batch["far"],
+        "bg_color": np.asarray(batch["bg_color"]),
+        "pixel_idx": np.stack([jj.ravel(), ii.ravel()], -1)[None],
+        "h": side, "w": side,
+    }
+    opt_r = opt.replace(random_sample_size=side)  # one chunk per image
+    exact = render_image(ts, grid, opt_r.replace(SR_budget=0), spec, item)
+    tight = render_image(ts, grid, opt_r.replace(SR_budget=64), spec, item)
+    # 64 rows is far below the valid-row count for this scene -> the tight
+    # render must have detected overflow and fallen back to the exact program
+    np.testing.assert_array_equal(tight["coarse_raycolor"],
+                                  exact["coarse_raycolor"])
+    np.testing.assert_array_equal(tight["ray_mask"], exact["ray_mask"])
+
+
 def test_ray_chunked_grads_match_unchunked():
     """Chunked-render training (ray_chunk) must reproduce unchunked gradients."""
     opt, state, spec, grid, batch, xyz = tiny_setup(R_side=8)  # R=64
