@@ -11,7 +11,7 @@ construction.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,22 @@ def effective_sr_budget(opt, rows: int) -> int:
     return Nc
 
 
+class QueryOut(NamedTuple):
+    """Result of the non-differentiable query phase (all stop-gradient)."""
+    sample_pidx: Optional[jax.Array]         # [B,R,SR,K] int32, -1 = none
+                                             # (None when comp is set)
+    sample_loc_w: jax.Array                  # [B,R,SR,3]
+    ray_mask: jax.Array                      # [B,R] bool
+    sample_ray_dirs: Optional[jax.Array]     # [B,R,SR,3] (frustum path only)
+    q_overflow: jax.Array                    # [] int32 rows dropped pre-KNN
+    comp: Optional[tuple]                    # (comp_src [Nc], comp_valid [Nc],
+                                             #  c_pidx [Nc,K], row_valid
+                                             #  [B,R,SR]) pre-compacted query
+
+
 def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
-                 batch: Dict, key: Optional[jax.Array], is_train: bool):
+                 batch: Dict, key: Optional[jax.Array], is_train: bool,
+                 prob: bool = False) -> QueryOut:
     """Non-differentiable phase: ray samples → voxel walk → KNN indices.
 
     Split out so training can exclude it from the rematerialized region —
@@ -62,8 +76,9 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
                 raydir, batch["camrotc2w"], campos, xyz_pers, fgrid, spec,
                 SR=opt.SR, K=opt.K, jitter=opt.shpnt_jitter, key=key,
                 is_train=is_train)
-        return (sample_pidx, jax.lax.stop_gradient(sample_loc_w), ray_mask,
-                jax.lax.stop_gradient(sample_ray_dirs))
+        return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
+                        ray_mask, jax.lax.stop_gradient(sample_ray_dirs),
+                        jnp.zeros((), jnp.int32), None)
 
     # 1. raw depth samples (reference point_query.py:78-81: jitter 0.3 at train)
     gen = raygen.find_ray_generation_method(
@@ -73,11 +88,16 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
                           near=batch["near"], far=batch["far"],
                           jitter=jitter, key=key)
 
-    # 2. voxel walk + shading-point compaction + KNN
-    sample_pidx, sample_loc_w, ray_mask = query_grid_points(
+    # 2. voxel walk + shading-point compaction + KNN. The KNN runs on the
+    # same compacted row budget the shade phase uses (prob mode needs every
+    # row's stats, so it stays uncompacted like the shade side).
+    B, R = raydir.shape[0], raydir.shape[1]
+    Nc = effective_sr_budget(opt, B * R * opt.SR) if not prob else 0
+    sample_pidx, sample_loc_w, ray_mask, q_overflow, comp = query_grid_points(
         raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
-        SR=opt.SR, K=opt.K)
-    return sample_pidx, jax.lax.stop_gradient(sample_loc_w), ray_mask
+        SR=opt.SR, K=opt.K, Nc=Nc)
+    return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
+                    ray_mask, None, q_overflow, comp)
 
 
 def render_shade(agg_params: Dict,
@@ -93,13 +113,9 @@ def render_shade(agg_params: Dict,
     campos = batch["campos"]
     camrotc2w = batch["camrotc2w"]
     B, R, _ = raydir.shape
-    if len(query_out) == 4:
-        # frustum path: the querier supplies per-sample ray dirs
-        # (reference query_points :101 returns sample_ray_dirs_tensor)
-        sample_pidx, sample_loc_w, ray_mask, sample_ray_dirs = query_out
-    else:
-        sample_pidx, sample_loc_w, ray_mask = query_out
-        sample_ray_dirs = None
+    # frustum path supplies per-sample ray dirs (reference query_points :101)
+    (sample_pidx, sample_loc_w, ray_mask, sample_ray_dirs, q_overflow,
+     q_comp) = query_out
 
     # 3. gather neighbor attributes; perspective coords of shading locations
     sample_loc = w2pers(sample_loc_w, camrotc2w, campos)
@@ -109,22 +125,31 @@ def render_shade(agg_params: Dict,
 
     # 4. aggregate → per-shading-point [sigma, rgb]
     SR = sample_loc.shape[2]
-    Nc = effective_sr_budget(opt, B * R * SR)
-    use_compaction = 0 < Nc < B * R * SR and not prob
+    S = B * R * SR
+    Nc = effective_sr_budget(opt, S)
+    use_compaction = q_comp is not None or (0 < Nc < S and not prob)
     if use_compaction:
         # global valid-row compaction: on real scenes most (ray, shading)
         # rows are empty (the reference exploits this with dynamic-shape
-        # compaction, cu:381-429); here rows with ≥1 neighbor are packed
-        # into a fixed budget so the gathers + aggregator MLP run on Nc
-        # rows instead of B·R·SR. Overflow rows beyond the budget render
-        # empty — size SR_budget to the scene's occupancy.
-        vflat = jnp.any(sample_pidx >= 0, axis=-1).reshape(-1)     # [S]
-        S = vflat.shape[0]
-        cum = jnp.cumsum(vflat.astype(jnp.int32))
-        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
-        comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
-            jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]      # [Nc]
-        comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
+        # compaction, cu:381-429); rows with ≥1 neighbor are packed into a
+        # fixed budget so the gathers + aggregator MLP run on Nc rows
+        # instead of B·R·SR. Overflow rows beyond the budget render empty —
+        # size SR_budget to the scene's occupancy. The world-coord querier
+        # already compacted (q_comp); the frustum querier returns full-shape
+        # indices, so the map is derived here.
+        if q_comp is not None:
+            comp_src, comp_valid, c_pidx_flat, ray_valid = q_comp
+            Nc = comp_src.shape[0]
+            c_pidx = c_pidx_flat.reshape(1, Nc, 1, -1)
+        else:
+            vflat = jnp.any(sample_pidx >= 0, axis=-1).reshape(-1)     # [S]
+            cum = jnp.cumsum(vflat.astype(jnp.int32))
+            rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
+            comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
+                jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]      # [Nc]
+            comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
+            ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
+            q_overflow = jnp.maximum(cum[-1] - Nc, 0) + q_overflow
 
         def compact(a, fill=0):
             flat = a.reshape((S,) + a.shape[3:])
@@ -133,7 +158,8 @@ def render_shade(agg_params: Dict,
                 comp_valid.reshape((Nc,) + (1,) * (out.ndim - 1)),
                 out, fill).reshape((1, Nc, 1) + a.shape[3:])
 
-        c_pidx = compact(sample_pidx, fill=-1)
+        if q_comp is None:
+            c_pidx = compact(sample_pidx, fill=-1)
         g = npc.gather_neighbors(point_state, c_pidx, camrotc2w, campos)
         c_decoded, _, c_weight, c_conf = aggregator_forward(
             agg_params, opt,
@@ -152,11 +178,10 @@ def render_shade(agg_params: Dict,
         decoded = scatter_back(c_decoded)
         weight = scatter_back(c_weight)
         conf_coefficient = scatter_back(c_conf)
-        ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
         decoded = decoded * ray_valid[..., None].astype(decoded.dtype)
-        sr_overflow = jnp.maximum(cum[-1] - Nc, 0)
+        sr_overflow = q_overflow
     else:
-        sr_overflow = jnp.zeros((), jnp.int32)
+        sr_overflow = jnp.zeros((), jnp.int32) + q_overflow
         g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
         decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
             agg_params, opt,
@@ -264,6 +289,7 @@ def render_forward(agg_params: Dict,
     bg_color [B,3] (or None-equivalent), optional bg_ray [B,R,3].
     Returns the reference output dict (coarse_raycolor, ray_mask, opacity, ...).
     """
-    query_out = render_query(point_state, grid, spec, opt, batch, key, is_train)
+    query_out = render_query(point_state, grid, spec, opt, batch, key, is_train,
+                             prob=prob)
     return render_shade(agg_params, point_state, spec, opt, batch, query_out,
                         prob=prob, compute_dtype=compute_dtype)

@@ -227,22 +227,59 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     return jnp.where(best_d < BIG, best_i, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "SR", "K"))
+@functools.partial(jax.jit, static_argnames=("spec", "SR", "K", "Nc"))
 def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
-                      spec: GridSpec, SR: int, K: int):
+                      spec: GridSpec, SR: int, K: int, Nc: int = 0):
     """Full query pipeline (reference host orchestration cu:305-433, uncompacted).
 
     raypos: [B,R,D,3] jittered ray samples (from ops.raygen); xyz: [N,3].
-    Returns (sample_pidx [B,R,SR,K], sample_loc_w [B,R,SR,3], ray_mask [B,R] bool).
+    Nc > 0: run the KNN only on the first Nc occupancy-valid shading rows
+    (the same compaction budget the shade phase uses — real scenes leave most
+    of the B·R·SR row space empty, so the KNN's row gather + top-k shrink
+    ~6x). Rows beyond the budget get no neighbors and are counted in
+    q_overflow, exactly like the shade-side compaction counter.
+
+    Returns (sample_pidx [B,R,SR,K] or None, sample_loc_w [B,R,SR,3],
+             ray_mask [B,R] bool, q_overflow [] int32, comp).
+    When Nc is active sample_pidx is None and comp = (comp_src [Nc],
+    comp_valid [Nc], c_pidx [Nc,K], row_valid [B,R,SR]) — the shade phase
+    consumes the compacted indices directly instead of re-deriving the map.
     """
     rp_valid = mask_raypos(raypos, grid, spec)
     sample_loc_w, sample_mask = select_shading_points(raypos, rp_valid, SR)
-    if spec.superset_P > 0:
-        sample_pidx = knn_neighbors_superset(sample_loc_w, sample_mask, grid,
-                                             spec, K)
-    else:
-        sample_pidx = knn_neighbors(sample_loc_w, sample_mask, xyz, grid,
-                                    spec, K)
+    B, R = raypos.shape[0], raypos.shape[1]
+    S = B * R * SR
+    q_overflow = jnp.zeros((), jnp.int32)
+
+    def knn(loc, mask):
+        if spec.superset_P > 0:
+            return knn_neighbors_superset(loc, mask, grid, spec, K)
+        return knn_neighbors(loc, mask, xyz, grid, spec, K)
+
+    if 0 < Nc < S:
+        vflat = sample_mask.reshape(-1)
+        cum = jnp.cumsum(vflat.astype(jnp.int32))
+        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
+        comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]       # [Nc]
+        comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
+        c_loc = sample_loc_w.reshape(S, 3)[comp_src][None, :, None]  # [1,Nc,1,3]
+        c_pidx = knn(c_loc, comp_valid[None, :, None])               # [1,Nc,1,K]
+        c_pidx = jnp.where(comp_valid[:, None], c_pidx[0, :, 0], -1)  # [Nc,K]
+        # rows with ≥1 neighbor, scattered back to full shape (ONE scalar
+        # scatter per row; the [Nc,K] indices themselves stay compacted and
+        # flow straight into the shade phase's gathers)
+        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)           # [Nc]
+        vrows = jnp.zeros((S + 1,), bool).at[
+            jnp.where(comp_valid, comp_src, S)].set(
+            c_has, mode="drop")[:S]
+        row_valid = vrows.reshape(B, R, SR)
+        ray_mask = jnp.any(row_valid, axis=-1)
+        q_overflow = jnp.maximum(cum[-1] - Nc, 0)
+        comp = (comp_src, comp_valid, c_pidx, row_valid)
+        return None, sample_loc_w, ray_mask, q_overflow, comp
+
+    sample_pidx = knn(sample_loc_w, sample_mask)
     # a ray stays valid only if at least one shading point found a neighbor (cu:425-427)
     ray_mask = jnp.any(sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
-    return sample_pidx, sample_loc_w, ray_mask
+    return sample_pidx, sample_loc_w, ray_mask, q_overflow, None

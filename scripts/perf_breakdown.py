@@ -72,7 +72,8 @@ def main():
     if args.occupancy:
         q = jax.jit(lambda: render_query(point_state, grid, spec, opt, batch,
                                          key0, is_train=True))()
-        pidx, _, raym = q
+        pidx = q.comp[2] if q.comp is not None else q.sample_pidx
+        raym = q.ray_mask
         rows_valid = jnp.any(pidx >= 0, axis=-1)
         print(f"occupancy: valid rows {float(jnp.mean(rows_valid)):.4f} "
               f"({int(jnp.sum(rows_valid))}/{rows_valid.size}), "
@@ -84,7 +85,8 @@ def main():
         def body(c, i):
             q = render_query(point_state, grid, spec, opt, batch,
                              jax.random.fold_in(key0, i), is_train=True)
-            return c + jnp.sum(q[0]) + jnp.sum(q[1]), None
+            pidx = q.comp[2] if q.comp is not None else q.sample_pidx
+            return c + jnp.sum(pidx) + jnp.sum(q.sample_loc_w), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(S))
         return c
 

@@ -163,8 +163,8 @@ def test_full_query_ray_mask():
     ray0 = np.stack([0.5 * np.ones(D), 0.5 * np.ones(D), t], axis=-1)
     ray1 = np.stack([5.0 * np.ones(D), 5.0 * np.ones(D), t], axis=-1)
     raypos = jnp.asarray(np.stack([ray0, ray1])[None])  # [1,2,D,3]
-    pidx, loc, ray_mask = query_grid_points(raypos, jnp.asarray(xyz), grid, spec,
-                                            SR=4, K=2)
+    pidx, loc, ray_mask, _qo, _comp = query_grid_points(
+        raypos, jnp.asarray(xyz), grid, spec, SR=4, K=2)
     assert pidx.shape == (1, 2, 4, 2)
     rm = np.asarray(ray_mask)
     assert rm[0, 0] and not rm[0, 1]
