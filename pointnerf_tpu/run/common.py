@@ -259,45 +259,92 @@ PROBE_KEYS = ("coarse_raycolor", "ray_mask", "ray_max_sample_loc_w",
               "shading_avg_dir", "shading_avg_conf", "shading_avg_embedding")
 
 
+RAY_CHUNK_KEYS = ("raydir", "gt_image", "bg_ray")
+CONST_BATCH_KEYS = ("campos", "camrotc2w", "near", "far", "bg_color")
+
+
 def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
-                 keys: Tuple[str, ...] = ("coarse_raycolor", "ray_mask")
-                 ) -> Dict[str, np.ndarray]:
+                 keys: Tuple[str, ...] = ("coarse_raycolor", "ray_mask"),
+                 group: int = 8) -> Dict[str, np.ndarray]:
     """Chunked full-image render: scatter ray chunks into [H,W,C] host maps
-    (reference: run/train_ft.py:283-322 test / :470-494 probe_hole)."""
+    (reference: run/train_ft.py:283-322 test / :470-494 probe_hole).
+
+    Chunks are rendered `group` at a time in one jitted lax.map dispatch
+    (trainer.eval_chunks): a remote-tunneled chip pays tens of ms of latency
+    per dispatch, and a full image is hundreds of chunks. The tail group
+    compiles its own (smaller) program shape instead of padding — two cached
+    programs per image size, no wasted chunk renders.
+
+    Eval never drops valid shading rows (the reference's compaction is
+    dynamic-shape, run/train_ft.py:283-322): a group whose compaction budget
+    overflows is re-rendered up a static budget ladder (2x the training
+    budget, then compaction off). The ladder position persists for the rest
+    of the image, so a scene denser than the training budget costs at most
+    two extra group renders — not a doomed compacted pass plus an
+    uncompacted retry per group (uncompacted shading is ~6x the compacted
+    cost at the bench shapes)."""
     H, W = int(item["h"]), int(item["w"])
     chunk = opt.random_sample_size ** 2
     maps: Dict[str, np.ndarray] = {}
     pix = item["pixel_idx"][0].astype(np.int64)
     overflow = 0
+    const_batch = {k: jnp.asarray(item[k]) for k in CONST_BATCH_KEYS
+                   if k in item}
+    group = max(1, int(group))
+
+    # budget ladder: training budget -> 2x -> off (each rung is one compiled
+    # program, shared by every group and image at that rung)
+    from ..models.renderer import effective_sr_budget
+    S_chunk = chunk * opt.SR
+    rungs = [opt]
+    if int(opt.SR_budget) != 0:
+        Nc_eff = effective_sr_budget(opt, S_chunk)
+        if 0 < 2 * Nc_eff < S_chunk:
+            rungs.append(opt.replace(SR_budget=2 * Nc_eff))
+        rungs.append(opt.replace(SR_budget=0))
+    rung = 0
+
+    def run_group(pending, opt_used):
+        stacked = {k: jnp.asarray(np.stack([p[0][k] for p in pending]))
+                   for k in RAY_CHUNK_KEYS if k in pending[0][0]}
+        return trainer.eval_chunks(ts, grid, stacked, const_batch, opt_used,
+                                   spec, prob=prob)
+
+    def flush(pending):
+        nonlocal overflow, rung
+        if not pending:
+            return
+        while True:
+            outs = run_group(pending, rungs[rung])
+            over = np.asarray(outs.get("sr_overflow",
+                                       jnp.zeros((len(pending),), jnp.int32)))
+            dropped = int(sum(over[: len(pending)]))
+            if dropped == 0 or rung == len(rungs) - 1:
+                break
+            overflow += dropped
+            rung += 1
+        for ci, (sub, s, e) in enumerate(pending):
+            px, py = pix[s:e, 0], pix[s:e, 1]
+            for key in keys:
+                if key not in outs or outs[key] is None:
+                    continue
+                arr = np.asarray(outs[key][ci][0], np.float32)
+                if arr.ndim == 1:
+                    arr = arr[:, None]
+                arr = arr[: e - s]
+                if key not in maps:
+                    maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
+                maps[key][py, px] = arr
+
+    pending = []
     for sub, s, e in chunks_of_item(item, chunk):
-        batch = {k: v for k, v in sub.items()
-                 if k in ("raydir", "campos", "camrotc2w", "near", "far",
-                          "bg_color", "gt_image", "bg_ray")}
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = trainer.eval_step(ts, grid, batch, opt, spec, prob=prob)
-        chunk_overflow = int(out.get("sr_overflow", 0))
-        if chunk_overflow > 0 and int(opt.SR_budget) != 0:
-            # compaction dropped valid shading rows in this EVAL chunk; retry
-            # with compaction off so the image stays exact. One extra compiled
-            # program shape, reused for every overflowing chunk (the reference
-            # never drops eval rows: its compaction is dynamic-shape,
-            # run/train_ft.py:283-322).
-            out = trainer.eval_step(ts, grid, batch, opt.replace(SR_budget=0),
-                                    spec, prob=prob)
-            overflow += chunk_overflow
-        px, py = pix[s:e, 0], pix[s:e, 1]
-        for key in keys:
-            if key not in out or out[key] is None:
-                continue
-            arr = np.asarray(out[key][0], np.float32)
-            if arr.ndim == 1:
-                arr = arr[:, None]
-            arr = arr[: e - s]
-            if key not in maps:
-                maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
-            maps[key][py, px] = arr
+        pending.append((sub, s, e))
+        if len(pending) == group:
+            flush(pending)
+            pending = []
+    flush(pending)
     if overflow > 0:
-        # informational only — the overflowing chunks were re-rendered exactly
+        # informational only — overflowing groups were re-rendered exactly
         print(f"[render_image] note: SR_budget overflow on {overflow} shading "
-              f"rows; affected chunks re-rendered with compaction off")
+              f"rows; groups re-rendered up the budget ladder")
     return maps

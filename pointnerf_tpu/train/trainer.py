@@ -249,6 +249,25 @@ def eval_step_impl(state: TrainState, grid: Dict, batch: Dict, opt, spec: GridSp
 eval_step = jax.jit(eval_step_impl, static_argnames=("opt", "spec", "prob"))
 
 
+def eval_chunks_impl(state: TrainState, grid: Dict, stacked: Dict,
+                     const_batch: Dict, opt, spec: GridSpec,
+                     prob: bool = False) -> Dict:
+    """Render several ray chunks of one camera in ONE dispatch via lax.map.
+
+    stacked: ray-dependent leaves with a leading chunk axis [n, 1, C, ...];
+    const_batch: per-camera leaves shared by every chunk (campos, rotation,
+    near/far, bg_color). Through a remote-tunneled chip each dispatch costs
+    ~10 ms of latency — a full-image render is hundreds of chunks (reference
+    loops them one CUDA launch at a time, run/train_ft.py:283-322)."""
+    def body(ch):
+        return eval_step_impl(state, grid, dict(const_batch, **ch), opt, spec,
+                              prob=prob)
+    return jax.lax.map(body, stacked)
+
+
+eval_chunks = jax.jit(eval_chunks_impl, static_argnames=("opt", "spec", "prob"))
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def rebuild_grid(state: TrainState, spec: GridSpec) -> Dict:
     point_state = point_state_of(state)

@@ -243,12 +243,20 @@ def test_render_image_overflow_retry_is_exact():
     }
     opt_r = opt.replace(random_sample_size=side)  # one chunk per image
     exact = render_image(ts, grid, opt_r.replace(SR_budget=0), spec, item)
-    tight = render_image(ts, grid, opt_r.replace(SR_budget=64), spec, item)
-    # 64 rows is far below the valid-row count for this scene -> the tight
-    # render must have detected overflow and fallen back to the exact program
+    tight = render_image(ts, grid, opt_r.replace(SR_budget=8), spec, item)
+    # 8 rows is far below the valid-row count for this scene -> the tight
+    # render must walk the budget ladder (2x, then compaction off) until no
+    # valid row is dropped; the final rung IS the exact program
     np.testing.assert_array_equal(tight["coarse_raycolor"],
                                   exact["coarse_raycolor"])
     np.testing.assert_array_equal(tight["ray_mask"], exact["ray_mask"])
+
+    # a budget that only needs the 2x rung must also lose nothing (the
+    # compacted program differs from the exact one only by float association)
+    near = render_image(ts, grid, opt_r.replace(SR_budget=130), spec, item)
+    np.testing.assert_array_equal(near["ray_mask"], exact["ray_mask"])
+    np.testing.assert_allclose(near["coarse_raycolor"],
+                               exact["coarse_raycolor"], atol=1e-5)
 
 
 def test_ray_chunked_grads_match_unchunked():
