@@ -400,7 +400,7 @@ def nerf_synth_preset(scan: str = "lego", **overrides) -> Options:
         shpnt_jitter="uniform",
         apply_pnt_mask=1,
         raydist_mode_unit=1,
-        superset_P=32,
+        superset_P=64,
         SR_budget=-1,
         depth_occ=1,
         bg_filtering=1,
@@ -455,7 +455,7 @@ def scannet_preset(scan: str = "scene0241_01", **overrides) -> Options:
         bg_color="white", point_features_dim=32,
         agg_dist_pers=20, agg_intrp_order=2, agg_distance_kernel="linear",
         point_conf_mode="1", point_dir_mode="1", point_color_mode="1",
-        superset_P=32, SR_budget=-1,
+        superset_P=64, SR_budget=-1,
         maximum_step=200000,
     )
     scene = _SCANNET_OVERRIDES.get(scan)
@@ -519,7 +519,7 @@ def tt_preset(scan: str = "Barn", **overrides) -> Options:
                                         "point_conf"),
         zero_one_loss_items=("conf_coefficient",),
         zero_one_loss_weights=(0.0001,),
-        superset_P=32, SR_budget=-1,
+        superset_P=64, SR_budget=-1,
         maximum_step=200000,
     )
     scene = _TT_OVERRIDES.get(scan)
@@ -554,7 +554,7 @@ def dtu_ft_preset(scan: str = "scan1", **overrides) -> Options:
         bgmodel="plane",
         zero_one_loss_items=("conf_coefficient",),
         zero_one_loss_weights=(0.0001,),
-        superset_P=32, SR_budget=-1,
+        superset_P=64, SR_budget=-1,
         maximum_step=200000,
     )
     return base.replace(**overrides) if overrides else base
