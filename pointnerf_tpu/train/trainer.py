@@ -134,11 +134,11 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
     def loss_fn(agg_params, pt_train):
         if chunked:
             # map the render over fixed-size ray chunks inside ONE program:
-            # amortizes per-step overheads at large R. (Intended to sidestep
-            # an XLA:TPU regalloc failure at top_k shapes ≥ ~[1,14400,400];
-            # this environment's remote compile helper currently also fails
-            # on the chunked program at that scale — infra, not semantics:
-            # the path is gradient-equivalence-tested on CPU.)
+            # bounds peak activation memory at large R. (Round-1's XLA:TPU
+            # regalloc failure at top_k shapes ≥ ~[1,14400,400] no longer
+            # reproduces — both the chunked and unchunked programs compile
+            # and run at R=14400 on the current toolchain; the path is also
+            # gradient-equivalence-tested on CPU.)
             n = R // C
             chunks = {k: v.reshape((n, 1, C) + v.shape[2:])
                       for k, v in batch.items()
