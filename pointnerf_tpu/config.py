@@ -235,7 +235,6 @@ class Options:
     no_loss: int = 0
 
     # ---------------------------------------------------------------- tpu-native extras
-    mesh_rays: int = 1                     # data-parallel mesh size over the ray axis
     grid_rebuild_every: int = 1            # rebuild point grid every N steps (1 = per step)
     compute_dtype: str = "float32"         # float32 | bfloat16 for the aggregator MLP
     steps_per_dispatch: int = 8            # train steps fused into one device dispatch
@@ -285,6 +284,54 @@ class Options:
                 v = tuple(v)
             kw[k] = v
         return cls(**kw)
+
+
+# -------------------------------------------------------------------- validation
+# Reference-CLI flags whose ONLY implemented behavior is the value every
+# shipped reference dev_script uses. They parse (so reference scripts work
+# verbatim) but any other value would silently change nothing — so the CLI
+# layer rejects it loudly instead (round-1 review: "no flag parses that has
+# no effect").
+_SUPPORTED_VALUES = {
+    "which_agg_model": ("viewmlp",),       # the only aggregator any dev_script uses
+    "apply_pnt_mask": (1,),                # mask always applied (padded buffers)
+    "NN": (2,),                            # world-coord KNN (frustum = wcoord_query 0)
+    "normview": (0,),
+    "alpha_range": (0,),
+    "modulator_concat": (0,),
+    "num_hyperfeat_freqs": (0,),
+    "fine_sample_num": (0,),               # refine generators take counts directly
+    "mvs_point_sampler": ("gau_single_sampler",),
+    "no_loss": (0,),
+    "point_noise": ("",),
+    "construct_res": (0,),
+    "grid_res": (0,),
+    "cloud_path": ("",),                   # clouds load via the dataset layer
+    "shading_color_channel_num": (3,),
+    "train_and_test": (0, 1),              # drivers always test at the end
+}
+# loss families no shipped dev_script enables; parsed for script parity only
+_UNIMPLEMENTED_LOSSES = ("depth_loss_items", "bg_loss_items",
+                         "l2_size_loss_items")
+# GPU/loader knobs with no TPU meaning (device use is via the jax mesh;
+# items are host numpy + scan dispatch): accepted silently at any value
+# — gpu_ids, gpu_maxthr, n_threads, pin_data_in_memory, mvs_img_wh.
+
+
+def validate_options(opt: "Options") -> "Options":
+    """Reject flag values that would silently change nothing."""
+    for name, ok in _SUPPORTED_VALUES.items():
+        v = getattr(opt, name)
+        if v not in ok:
+            raise NotImplementedError(
+                f"--{name}={v!r}: only {ok} is implemented (the value every "
+                f"shipped reference dev_script uses)")
+    for name in _UNIMPLEMENTED_LOSSES:
+        if getattr(opt, name):
+            raise NotImplementedError(
+                f"--{name} is parsed for reference-script parity but these "
+                f"losses are not implemented (no shipped dev_script sets them)")
+    return opt
 
 
 # ---------------------------------------------------------------------------- presets

@@ -68,7 +68,8 @@ def options_from_cli(argv=None, base: Optional[Options] = None) -> Options:
         elif cur is None and name == "max_o":
             v = int(v)
         kw[name] = v
-    return base.replace(**kw) if kw else base
+    from ..config import validate_options
+    return validate_options(base.replace(**kw) if kw else base)
 
 
 # ------------------------------------------------------------- point-cloud init
@@ -229,7 +230,9 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     method = opt.feature_init_method
     rng = np.random.RandomState(opt.seed)
     C = opt.point_features_dim
-    if method == "rand":
+    if opt.point_init_emb_std > 0:
+        emb = rng.normal(0, opt.point_init_emb_std, (n, C)).astype(np.float32)
+    elif method == "rand":
         emb = rng.uniform(-0.5, 0.5, (n, C)).astype(np.float32)
     elif method == "zeros":
         emb = np.zeros((n, C), np.float32)

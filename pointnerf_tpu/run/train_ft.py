@@ -146,12 +146,47 @@ def prune_points(ts, opt):
     return ts._replace(pt_train=pt_train, pt_static=pt_static)
 
 
+def _test_loss_items(opt, img, gt, ray_mask):
+    """Per-image test losses for opt.test_color_loss_items (reference logs the
+    same masked/miss/plain MSE triplet at test, base_rendering_model.py:533-662)."""
+    items = {}
+    mask = ray_mask.astype(bool).reshape(-1)
+    d2 = np.square(img.reshape(-1, 3) - gt.reshape(-1, 3))
+    for name in opt.test_color_loss_items:
+        if name.startswith("ray_masked"):
+            v = float(d2[mask].mean()) if mask.any() else 0.0
+        elif name.startswith("ray_miss"):
+            v = float(d2[~mask].sum()) / 3.0
+        else:
+            v = float(d2.mean())
+        items["loss_" + name] = v
+    return items
+
+
+def _visual_maps(opt, maps, gt):
+    """Select the maps opt.visual_items asks for (reference visual_items flag).
+    ray_masked/ray_miss variants are the render masked to hit/miss rays."""
+    rm = maps["ray_mask"].astype(bool)
+    out = {}
+    for name in opt.visual_items:
+        if name == "gt_image":
+            out[name] = gt
+        elif name in maps:
+            out[name] = maps[name]
+        elif name.startswith("ray_masked") and name[len("ray_masked") + 1:] in maps:
+            out[name] = np.where(rm, maps[name[len("ray_masked") + 1:]], 1.0)
+        elif name.startswith("ray_miss") and name[len("ray_miss") + 1:] in maps:
+            out[name] = np.where(rm, 1.0, maps[name[len("ray_miss") + 1:]])
+    return out
+
+
 def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
          max_images: Optional[int] = None, write_images: bool = True,
          bg_maps=None) -> float:
     """Render the held-out split, PSNR per image (reference: train_ft.py:252-414)."""
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     psnrs = []
+    agg_items: Dict[str, list] = {}
     for i in range(n):
         item = dataset.get_item(i, full_img=True)
         if bg_maps is not None:
@@ -165,17 +200,26 @@ def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
         # rays the querier skipped render bg (fill_invalid equivalent)
         p = psnr_fn(gt, img)
         psnrs.append(p)
+        for k, v in _test_loss_items(opt, img, gt, maps["ray_mask"]).items():
+            agg_items.setdefault(k, []).append(v)
         if write_images:
             visualizer.display_current_results(
-                {"coarse_raycolor": img, "gt_image": gt}, i,
-                subdir=f"test_{total_steps}")
+                _visual_maps(opt, maps, gt), i, subdir=f"test_{total_steps}")
     mean_psnr = float(np.mean(psnrs))
+    detail = "  ".join(f"{k}: {np.mean(v):.6f}" for k, v in
+                       sorted(agg_items.items()))
     visualizer.print_details(
-        f"test at {total_steps}: PSNR {mean_psnr:.3f} over {n} images")
+        f"test at {total_steps}: PSNR {mean_psnr:.3f} over {n} images  {detail}")
     return mean_psnr
 
 
 def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
+    if opt.timestamp:
+        # reference base_options appends launch time to the experiment name
+        opt = opt.replace(timestamp=False, experiment=opt.experiment
+                          + time.strftime("_%m%d_%H%M%S"))
+    if opt.verbose:
+        print(opt.to_json())
     key = jax.random.PRNGKey(opt.seed)
     rng = np.random.RandomState(opt.seed)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)

@@ -91,6 +91,50 @@ def test_cli_options_roundtrip(scene_root, tmp_path):
     assert opt.data_root == scene_root
 
 
+def test_cli_rejects_unimplemented_flag_values(scene_root):
+    """Flags parsed for reference-script parity must raise when set to a
+    value whose behavior is not implemented, instead of silently parsing."""
+    with pytest.raises(NotImplementedError):
+        options_from_cli(["--preset", "nerf_synth:lego",
+                          "--which_agg_model", "sh"])
+    with pytest.raises(NotImplementedError):
+        options_from_cli(["--preset", "nerf_synth:lego",
+                          "--depth_loss_items", "depth"])
+    # the shipped dev_script values all pass
+    opt = options_from_cli(["--preset", "nerf_synth:lego",
+                            "--apply_pnt_mask", "1", "--normview", "0"])
+    assert opt.apply_pnt_mask == 1
+
+
+def test_visual_items_and_test_losses():
+    from pointnerf_tpu.run.train_ft import _test_loss_items, _visual_maps
+    from pointnerf_tpu.config import Options
+    opt = Options(visual_items=("coarse_raycolor", "gt_image",
+                                "ray_masked_coarse_raycolor"))
+    rng = np.random.RandomState(0)
+    img = rng.rand(4, 4, 3).astype(np.float32)
+    gt = rng.rand(4, 4, 3).astype(np.float32)
+    rm = (rng.rand(4, 4, 1) > 0.5).astype(np.float32)
+    maps = {"coarse_raycolor": img, "ray_mask": rm}
+    vis = _visual_maps(opt, maps, gt)
+    assert set(vis) == {"coarse_raycolor", "gt_image",
+                        "ray_masked_coarse_raycolor"}
+    masked = vis["ray_masked_coarse_raycolor"]
+    np.testing.assert_allclose(masked[rm[..., 0] > 0.5],
+                               img[rm[..., 0] > 0.5])
+    np.testing.assert_allclose(masked[rm[..., 0] <= 0.5], 1.0)
+
+    items = _test_loss_items(opt, img, gt, rm)
+    m = rm.reshape(-1).astype(bool)
+    d2 = np.square(img.reshape(-1, 3) - gt.reshape(-1, 3))
+    np.testing.assert_allclose(items["loss_ray_masked_coarse_raycolor"],
+                               d2[m].mean(), rtol=1e-6)
+    np.testing.assert_allclose(items["loss_coarse_raycolor"], d2.mean(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(items["loss_ray_miss_coarse_raycolor"],
+                               d2[~m].sum() / 3.0, rtol=1e-6)
+
+
 def test_vox_downsample():
     rng = np.random.RandomState(0)
     xyz = rng.uniform(-1, 1, (5000, 3))
