@@ -169,3 +169,23 @@ def test_kill_resume_bitwise_equivalence(tmp_path):
 
     for a, b in zip(jax.tree.leaves(cur), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_cli(tmp_path):
+    """run/evaluate.py mirrors the reference standalone metrics CLI
+    (reference run/evaluate.py:20-31)."""
+    import imageio.v2 as imageio
+    from pointnerf_tpu.run.evaluate import main as eval_main
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        noisy = np.clip(img.astype(int) + rng.randint(-5, 5, img.shape),
+                        0, 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(d, "step-%04d-gt_image.png" % i), img)
+        imageio.imwrite(os.path.join(d, "step-%04d-coarse_raycolor.png" % i),
+                        noisy)
+    scores = eval_main(["-i", d, "-m", "psnr", "ssim", "rmse"])
+    assert scores["psnr"] > 20 and 0.9 < scores["ssim"] <= 1.0
+    assert os.path.exists(os.path.join(d, "scores.txt"))
