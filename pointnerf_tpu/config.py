@@ -57,8 +57,8 @@ class Options:
     NN: int = 2                            # 2: K-NN in world coords (reference NN flag)
     max_o: Optional[int] = None            # max occupied voxels (None = derived)
     SR_budget: int = 0                     # shading-row compaction budget: >0 explicit rows,
-                                           # -1 auto (25% of B·R·SR), 0 off; overflow is
-                                           # reported in items["sr_overflow"]
+                                           # -1 auto (1/6 of B·R·SR, 128-lane rounded), 0 off;
+                                           # overflow is reported in items["sr_overflow"]
 
     # ---------------------------------------------------------------- neural points
     load_points: int = 0
