@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--rays", type=int, default=3600)
     ap.add_argument("--sr-budget", type=int, default=0)
     ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    ap.add_argument("--superset_P", type=int, default=None,
+                    help="override preset superset_P (the remote compile "
+                    "service sometimes 413-rejects the largest standalone "
+                    "phase programs at P2=64; the full train step compiles)")
     ap.add_argument("--occupancy", action="store_true",
                     help="also print valid (ray,shading) row stats")
     args = ap.parse_args()
@@ -59,6 +63,8 @@ def main():
         over["SR_budget"] = args.sr_budget
     if args.dtype:
         over["compute_dtype"] = args.dtype
+    if args.superset_P is not None:
+        over["superset_P"] = args.superset_P
     opt, state, spec, grid, ts, batch = make_workload(**over)
     R = args.rays
     S = args.iters
