@@ -118,6 +118,21 @@ def test_points_sharded_step_matches_single_chip(scene):
     ts_m = shard_state(ts0, mesh)
     grid_m = shard_grid(grid, spec, mesh)
     batch_m = shard_batch(batch, mesh)
+
+    # the sharding must actually DISTRIBUTE memory: each of the 4 point-axis
+    # devices holds cap/4 rows of every capacity buffer and bucket table,
+    # not a replica (this is the HBM-scaling claim of parallel/points.py)
+    cap = ts0.pt_train["embedding"].shape[0]
+    emb_shards = ts_m.pt_train["embedding"].addressable_shards
+    assert len({s.device for s in emb_shards}) == 8
+    per_dev = {s.device: s.data.shape[0] for s in emb_shards}
+    assert set(per_dev.values()) == {cap // 4}
+    occ_shards = grid_m["occ_2_xyz"].addressable_shards
+    assert {s.data.shape[0] for s in occ_shards} == {spec.max_o // 4}
+    # dense voxel maps replicate (index-addressed every sample)
+    occmap_shards = grid_m["coor_occ_rows"].addressable_shards
+    assert all(s.data.shape == grid_m["coor_occ_rows"].shape
+               for s in occmap_shards)
     step = make_mp_train_step(opt, spec, mesh, batch_m, ts0, grid)
     ts_mp, items_mp = step(ts_m, grid_m, batch_m, replicate(key, mesh))
 
