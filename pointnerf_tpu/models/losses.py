@@ -43,16 +43,38 @@ def compute_losses(opt, output: Dict, gt_image: jnp.ndarray
         total = total + loss * w + 1e-6
 
     for name, w in zip(opt.zero_one_loss_items, opt.zero_one_loss_weights):
-        if name not in output or output[name] is None:
+        if name == "conf_coefficient" and "conf_compact" in output:
+            # compact form: mean over the full B·R·SR·K element space, but
+            # only the Nc·K compacted rows carry data — every element the
+            # compaction left empty is exactly 0, whose clipped log term is
+            # the constant log(eps)+log(1-eps). Algebraically identical to
+            # the full-shape mean, without the scatter + 2.3M-element log.
+            eps = opt.zero_epsilon
+            const = jnp.log(eps) + jnp.log(1.0 - eps)
+            c = output["conf_compact"]          # [(n,)1,Nc,1,K]
+            cv = output["compact_valid"]        # [(n,)1,Nc,1,1]
+            v = jnp.clip(c, eps, 1.0 - eps)
+            term = jnp.where(cv, jnp.log(v) + jnp.log(1.0 - v), const)
+            n_total = jnp.sum(output["zero_one_total"]).astype(term.dtype)
+            loss = (jnp.sum(term) + (n_total - term.size) * const) / n_total
+        elif name not in output or output[name] is None:
             continue
-        val = jnp.clip(output[name], opt.zero_epsilon, 1.0 - opt.zero_epsilon)
-        loss = jnp.mean(jnp.log(val) + jnp.log(1.0 - val))
+        else:
+            val = jnp.clip(output[name], opt.zero_epsilon,
+                           1.0 - opt.zero_epsilon)
+            loss = jnp.mean(jnp.log(val) + jnp.log(1.0 - val))
         items["loss_" + name] = loss
         total = total + loss * w
 
     if opt.sparse_loss_weight > 0:
-        w_out = output["weight"]
-        conf = output["conf_coefficient"]
+        if "weight_compact" in output:
+            # exact on compacted rows: empty rows have weight 0 and cancel
+            # from both numerator and denominator
+            w_out = output["weight_compact"]
+            conf = output["conf_compact"]
+        else:
+            w_out = output["weight"]
+            conf = output["conf_coefficient"]
         loss = jnp.sum(w_out * jnp.abs(1.0 - jnp.exp(-2.0 * conf))) \
             / (jnp.sum(w_out) + 1e-6)
         items["loss_sparse"] = loss

@@ -180,7 +180,24 @@ def render_shade(agg_params: Dict,
         conf_coefficient = scatter_back(c_conf)
         decoded = decoded * ray_valid[..., None].astype(decoded.dtype)
         sr_overflow = q_overflow
+        # compact-form conf/weight for the losses: the zero-one and sparse
+        # losses over the FULL [B,R,SR,K] shape cost a sort-based scatter +
+        # a 2.3M-element log every step (profiled ~5 ms/step at bench
+        # shapes); computed on the Nc·K compacted rows + a closed-form
+        # constant for the empty rows they are algebraically identical
+        # (losses.py::compute_losses). The scattered full-shape outputs
+        # above remain for API parity / eval consumers and are DCE'd from
+        # the training program.
+        compact_losses = {
+            "conf_compact": c_conf,                        # [1,Nc,1,K]
+            "weight_compact": jax.lax.stop_gradient(c_weight),
+            # broadcast-shaped against conf_compact so a stacked leading
+            # chunk axis (trainer ray_chunk lax.map) broadcasts too
+            "compact_valid": comp_valid.reshape(1, Nc, 1, 1),
+            "zero_one_total": jnp.int32(S * c_conf.shape[-1]),
+        }
     else:
+        compact_losses = {}
         sr_overflow = jnp.zeros((), jnp.int32) + q_overflow
         g = npc.gather_neighbors(point_state, sample_pidx, camrotc2w, campos)
         decoded, ray_valid, weight, conf_coefficient = aggregator_forward(
@@ -215,6 +232,7 @@ def render_shade(agg_params: Dict,
     ray_color = tonemap(ray_color)
 
     output = {
+        **compact_losses,
         "coarse_raycolor": ray_color,                     # [B,R,3]
         "coarse_point_opacity": opacity,                  # [B,R,SR]
         "coarse_is_background": background_transmission,  # [B,R,1]

@@ -150,12 +150,22 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                 sub = dict(batch, **ch)
                 out = run_render(agg_params, pt_train, sub,
                                  jax.random.fold_in(key, idx))
-                return {k: out[k] for k in
-                        ("coarse_raycolor", "ray_mask", "conf_coefficient",
-                         "weight", "sr_overflow")}
+                keys = ["coarse_raycolor", "ray_mask", "sr_overflow"]
+                if "conf_compact" in out:    # compact-form loss inputs
+                    keys += ["conf_compact", "weight_compact",
+                             "compact_valid", "zero_one_total"]
+                else:
+                    keys += ["conf_coefficient", "weight"]
+                return {k: out[k] for k in keys}
             outs = jax.lax.map(body, chunks)
             overflow = jnp.sum(outs.pop("sr_overflow"))
-            output = {k: v.swapaxes(0, 1).reshape((1, R) + v.shape[3:])
+            # ray-shaped leaves merge back to [1, R, ...]; compact-form
+            # leaves keep their stacked chunk axis — compute_losses sums
+            # them and divides by sum(zero_one_total), which is exact
+            ray_shaped = ("coarse_raycolor", "ray_mask", "conf_coefficient",
+                          "weight")
+            output = {k: (v.swapaxes(0, 1).reshape((1, R) + v.shape[3:])
+                          if k in ray_shaped else v)
                       for k, v in outs.items()}
             output["sr_overflow"] = overflow
         else:
