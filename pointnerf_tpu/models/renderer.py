@@ -144,9 +144,10 @@ def render_shade(agg_params: Dict,
         else:
             vflat = jnp.any(sample_pidx >= 0, axis=-1).reshape(-1)     # [S]
             cum = jnp.cumsum(vflat.astype(jnp.int32))
-            rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
+            idx_s = jnp.arange(S, dtype=jnp.int32)
+            rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc + 1 + idx_s)
             comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
-                jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]      # [Nc]
+                idx_s, mode="drop", unique_indices=True)[:Nc]          # [Nc]
             comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
             ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
             q_overflow = jnp.maximum(cum[-1] - Nc, 0) + q_overflow
@@ -169,10 +170,17 @@ def render_shade(agg_params: Dict,
             compact(sample_loc_w), compact(sample_ray_dirs),
             spec.vsize, compute_dtype=compute_dtype)
 
+        # comp_src rows are distinct and padded rows get distinct
+        # out-of-bounds indices (dropped), so the scatter is provably
+        # unique — without the hint XLA lowers it as a sort-based scatter
+        # (profiled ~4 ms/step for the decoded values alone)
+        scat_idx = jnp.where(comp_valid, comp_src,
+                             S + jnp.arange(Nc, dtype=jnp.int32))
+
         def scatter_back(c):
-            flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[
-                jnp.where(comp_valid, comp_src, S)].set(
-                c.reshape((Nc,) + c.shape[3:]), mode="drop")
+            flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[scat_idx].set(
+                c.reshape((Nc,) + c.shape[3:]), mode="drop",
+                unique_indices=True)
             return flat.reshape((B, R, SR) + c.shape[3:])
 
         decoded = scatter_back(c_decoded)

@@ -259,9 +259,12 @@ def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
     if 0 < Nc < S:
         vflat = sample_mask.reshape(-1)
         cum = jnp.cumsum(vflat.astype(jnp.int32))
-        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc)
+        idx_s = jnp.arange(S, dtype=jnp.int32)
+        # dropped rows get DISTINCT out-of-bounds indices so every scatter
+        # here is provably unique — XLA otherwise lowers them sort-based
+        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc + 1 + idx_s)
         comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
-            jnp.arange(S, dtype=jnp.int32), mode="drop")[:Nc]       # [Nc]
+            idx_s, mode="drop", unique_indices=True)[:Nc]           # [Nc]
         comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
         c_loc = sample_loc_w.reshape(S, 3)[comp_src][None, :, None]  # [1,Nc,1,3]
         c_pidx = knn(c_loc, comp_valid[None, :, None])               # [1,Nc,1,K]
@@ -271,8 +274,9 @@ def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
         # flow straight into the shade phase's gathers)
         c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)           # [Nc]
         vrows = jnp.zeros((S + 1,), bool).at[
-            jnp.where(comp_valid, comp_src, S)].set(
-            c_has, mode="drop")[:S]
+            jnp.where(comp_valid, comp_src,
+                      S + 1 + jnp.arange(Nc, dtype=jnp.int32))].set(
+            c_has, mode="drop", unique_indices=True)[:S]
         row_valid = vrows.reshape(B, R, SR)
         ray_mask = jnp.any(row_valid, axis=-1)
         q_overflow = jnp.maximum(cum[-1] - Nc, 0)
