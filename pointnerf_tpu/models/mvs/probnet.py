@@ -108,7 +108,9 @@ def homo_warp_pad(src: jnp.ndarray, proj: jnp.ndarray,
     gx = proj_xy[0] / ((W - 1) / 2.0) - 1.0
     gy = proj_xy[1] / ((H - 1) / 2.0) - 1.0
     grid = jnp.stack([gx, gy], axis=-1)                        # [D,HPWP,2]
-    warped = grid_sample_2d(src, grid, align_corners=False,
+    # align_corners=True matches the (W-1)/2 normalization above and the
+    # reference's F.grid_sample(..., align_corners=True) (mvs_utils.py:467-469).
+    warped = grid_sample_2d(src, grid, align_corners=True,
                             padding_mode="zeros")
     inb = (jnp.abs(gx) < 1.0) & (jnp.abs(gy) < 1.0)            # [D,HPWP]
     return (jnp.moveaxis(warped, -1, 0).reshape(C, D, HP, WP),

@@ -133,6 +133,12 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     sample_ray_dirs [B,R,SR,3], ray_mask [B,R]).
     """
     B, R, _ = raydir.shape
+    if B != 1 or camrotc2w.shape[0] != 1 or campos.shape[0] != 1:
+        raise ValueError(
+            f"query_frustum_points requires B == 1 (one perspective grid per "
+            f"camera, like the reference's per-frame hyperparameters); got "
+            f"raydir batch {B}, camrotc2w batch {camrotc2w.shape[0]}, campos "
+            f"batch {campos.shape[0]}. Loop cameras and rebuild the grid.")
     D = spec.vdim[2]
 
     # pixel ray → fixed perspective column (x/z, y/z): the cam-frame direction
@@ -155,11 +161,14 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
 
     rp_valid = mask_raypos(raypos, grid, spec) & (fwd > 1e-9)[..., None]
     sample_loc, sample_mask = select_shading_points(raypos, rp_valid, SR)
-    if is_train:
-        sample_loc = _jitter_z(sample_loc, jitter, spec.vsize[2], key)
 
+    # KNN runs on the UNJITTERED locations; the jitter perturbs only the
+    # returned shading positions — reference ordering (query_grid_point_index
+    # then shpnt_jitter, query_point_indices.py:92-99).
     sample_pidx = knn_neighbors(sample_loc, sample_mask, xyz_pers, grid,
                                 spec, K)
+    if is_train:
+        sample_loc = _jitter_z(sample_loc, jitter, spec.vsize[2], key)
     ray_mask = jnp.any(
         sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
 

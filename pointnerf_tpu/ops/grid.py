@@ -115,11 +115,15 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
 
     xyz: [N, 3] float32; point_mask: [N] bool (False = padded/pruned slot).
     Returns a dict with:
-      coor_2_occ   [vol] int32       voxel linear id → occupied slot (-1 if empty)
-      occ_2_pnts   [max_o, P] int32  slot → point indices (-1 padded)
-      occ_numpnts  [max_o] int32     points per slot (clipped at P)
-      coor_occ     [vol] int8        occupancy dilated by query_size (cu:105-113)
-      num_occ      [] int32          number of occupied voxels (pre-cap)
+      coor_2_occ    [vol] int32        voxel linear id → occupied slot (-1 if empty)
+      occ_2_xyz     [max_o, P, 4]      slot → packed (x, y, z, point-idx) bucket rows
+      coor_occ_rows [vol/128, 128] i8  occupancy dilated by query_size (cu:105-113),
+                                       padded row-major for full-row gathers
+      num_occ       [] int32           number of occupied voxels (pre-cap)
+    (The reference's separate occ_2_pnts / occ_numpnts tables are folded into
+    occ_2_xyz's idx channel — building them separately cost ~66 MB HBM + a
+    scatter pass per rebuild at the T&T Barn preset and nothing consumed them;
+    tests derive them via grid_debug_tables.)
     """
     N = xyz.shape[0]
     vol = spec.grid_size_vol
@@ -149,18 +153,10 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
     coor_2_occ = coor_2_occ.at[scat_lin].set(
         jnp.where(keep & head, slot, -1), mode="drop")
 
-    # occ_2_pnts buckets: first P points per voxel in sorted order (deterministic
+    # Bucket membership: first P points per voxel in sorted order (deterministic
     # truncation replaces the reference's reservoir sampling, cu:150-159).
     keep_p = keep & (rank < spec.P)
-    occ_2_pnts = jnp.full((spec.max_o, spec.P), -1, dtype=jnp.int32)
     flat = jnp.where(keep_p, slot * spec.P + rank, spec.max_o * spec.P)
-    occ_2_pnts = occ_2_pnts.reshape(-1).at[flat].set(
-        jnp.where(keep_p, order.astype(jnp.int32), -1), mode="drop"
-    ).reshape(spec.max_o, spec.P)
-
-    occ_numpnts = jnp.zeros((spec.max_o,), dtype=jnp.int32)
-    occ_numpnts = occ_numpnts.at[jnp.where(keep_p, slot, spec.max_o)].add(
-        keep_p.astype(jnp.int32), mode="drop")
 
     # bucketed point payload: one contiguous [P,4] tile per occupied voxel —
     # (x, y, z, point_index-as-float) — so the querier reads whole rows from a
@@ -188,21 +184,20 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
         window_dimensions=q, window_strides=(1, 1, 1),
         padding=pads).reshape(-1)
 
-    # row-major [vol/128, 128] float copy of the dilated occupancy: the per-
-    # sample validity test gathers a FULL 128-lane row and selects the lane
-    # with a one-hot product, instead of one scalar gather per ray sample
-    # (1.44M scalar gathers at bench shapes: 13.0 ms; row+one-hot: 7.1 ms).
+    # row-major [vol/128, 128] copy of the dilated occupancy: the per-sample
+    # validity test gathers a FULL 128-lane row and selects the lane with a
+    # one-hot product, instead of one scalar gather per ray sample (1.44M
+    # scalar gathers at bench shapes: 13.0 ms; row+one-hot: 7.1 ms). Stored
+    # int8 — the gather moves 4x fewer bytes than the original f32 table and
+    # the one-hot select casts in-register (at the dtu_inf frustum scale of
+    # 32.7M voxels the f32 copy cost ~131 MB HBM per per-camera rebuild).
     LW = 128
     volp = -(-vol // LW) * LW
-    coor_occ_rows = jnp.pad(coor_occ.astype(jnp.float32),
-                            (0, volp - vol)).reshape(-1, LW)
+    coor_occ_rows = jnp.pad(coor_occ, (0, volp - vol)).reshape(-1, LW)
 
     out = {
         "coor_2_occ": coor_2_occ,
-        "occ_2_pnts": occ_2_pnts,
         "occ_2_xyz": occ_2_xyz,
-        "occ_numpnts": occ_numpnts,
-        "coor_occ": coor_occ,
         "coor_occ_rows": coor_occ_rows,
         "num_occ": num_occ,
     }
@@ -309,3 +304,21 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
         out["coor_slot"] = adopt.reshape(-1)
 
     return out
+
+
+def grid_debug_tables(grid, spec: GridSpec):
+    """Host-side oracle views of the bucket structure, for tests/debugging.
+
+    The hot build packs everything into occ_2_xyz / coor_occ_rows; this
+    reconstructs the reference-shaped tables (occ_2_pnts [max_o,P],
+    occ_numpnts [max_o], dense dilated coor_occ [vol]) without them ever
+    occupying HBM during training.
+    """
+    o2x = np.asarray(grid["occ_2_xyz"]).reshape(spec.max_o, spec.P, 4)
+    valid = o2x[..., 0] < 1.0e7                       # padded slots park at 1e8
+    occ_2_pnts = np.where(valid, o2x[..., 3], -1.0).astype(np.int32)
+    occ_numpnts = valid.sum(-1).astype(np.int32)
+    coor_occ = np.asarray(grid["coor_occ_rows"]).reshape(-1)[
+        : spec.grid_size_vol].astype(np.int8)
+    return {"occ_2_pnts": occ_2_pnts, "occ_numpnts": occ_numpnts,
+            "coor_occ": coor_occ}

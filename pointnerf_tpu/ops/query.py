@@ -43,17 +43,15 @@ def mask_raypos(raypos: jnp.ndarray, grid, spec: GridSpec) -> jnp.ndarray:
     """
     coords, inb = voxel_coords(raypos, spec)
     lin = jnp.where(inb, linearize(coords, spec), 0)
-    rows = grid.get("coor_occ_rows")
-    if rows is None:  # grids built before the row table existed
-        occ = grid["coor_occ"][lin]
-        return (occ > 0) & inb
-    # full-row gather + one-hot lane select: one 512 B row read per sample
-    # beats 1.44M scalar gathers (13.0 -> 7.1 ms at bench shapes) — scalar
-    # gathers are latency-bound, row reads ride HBM bandwidth
+    rows = grid["coor_occ_rows"]
+    # full-row gather + one-hot lane select: one row read per sample beats
+    # 1.44M scalar gathers (13.0 -> 7.1 ms at bench shapes) — scalar gathers
+    # are latency-bound, row reads ride HBM bandwidth. Rows are int8 (128 B
+    # per read); the select runs f32 in-register after the gather.
     LW = rows.shape[-1]
-    r = rows[(lin // LW).reshape(-1)]                       # [S, LW]
+    r = rows[(lin // LW).reshape(-1)].astype(jnp.float32)   # [S, LW]
     onehot = ((lin % LW).reshape(-1, 1)
-              == jnp.arange(LW, dtype=lin.dtype)).astype(rows.dtype)
+              == jnp.arange(LW, dtype=lin.dtype)).astype(jnp.float32)
     occ = jnp.sum(r * onehot, axis=-1).reshape(lin.shape)
     return (occ > 0.5) & inb
 

@@ -5,14 +5,14 @@ replicates the module, models/neural_points_volumetric_model.py:165-168) and
 spills to CPU when a scene outgrows one device (run/train_ft.py:68,80-86 —
 SURVEY.md §2.2 "CPU⇄GPU memory streaming"). The TPU-native answer is a
 "points" mesh axis: the padded point buffers, the voxel-bucket tables
-(occ_2_pnts / occ_2_xyz / super_xyz rows) and the points-side Adam moments
-all shard on their capacity axis across chips — HBM capacity scales with the
-mesh instead of falling back to host memory.
+(occ_2_xyz / super_xyz rows) and the points-side Adam moments all shard on
+their capacity axis across chips — HBM capacity scales with the mesh instead
+of falling back to host memory.
 
 GSPMD formulation: the SAME pure train/eval step functions are jitted with
 point-sharded in/out shardings; XLA inserts the cross-chip gathers for the
 query's table reads and the reduce for the scatter-add backward. Dense
-per-voxel maps (coor_occ / coor_2_occ / coor_slot — O(vol) int8/int32)
+per-voxel maps (coor_occ_rows / coor_2_occ / coor_slot — O(vol) int8/int32)
 replicate: they are index-addressed every sample and small relative to the
 bucket payloads. Numerics are exactly the single-chip step's (tested on the
 virtual CPU mesh, tests/test_parallel.py).

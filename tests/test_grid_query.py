@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import pytest
 
 from pointnerf_tpu.config import Options
-from pointnerf_tpu.ops.grid import make_grid_spec, build_grid, GridSpec
+from pointnerf_tpu.ops.grid import (make_grid_spec, build_grid, GridSpec,
+                                    grid_debug_tables)
 from pointnerf_tpu.ops.query import (mask_raypos, select_shading_points,
                                      knn_neighbors, query_grid_points)
 
@@ -41,10 +42,10 @@ def test_grid_build_buckets():
     c2o = np.asarray(grid["coor_2_occ"])
     occupied_slots = sorted(set(c2o[c2o >= 0].tolist()))
     assert occupied_slots == [0, 1]
-    o2p = np.asarray(grid["occ_2_pnts"])
+    o2p = grid_debug_tables(grid, spec)["occ_2_pnts"]
     buckets = [sorted(x for x in o2p[s] if x >= 0) for s in occupied_slots]
     assert sorted(map(tuple, buckets)) == [(0, 1), (2,)]
-    npnts = np.asarray(grid["occ_numpnts"])
+    npnts = grid_debug_tables(grid, spec)["occ_numpnts"]
     assert sorted(npnts[npnts > 0].tolist()) == [1, 2]
 
 
@@ -55,11 +56,12 @@ def test_grid_bucket_overflow_deterministic():
                           max_points=5)
     g1 = build_grid(jnp.asarray(xyz), jnp.ones(5, bool), spec)
     g2 = build_grid(jnp.asarray(xyz), jnp.ones(5, bool), spec)
-    np.testing.assert_array_equal(np.asarray(g1["occ_2_pnts"]),
-                                  np.asarray(g2["occ_2_pnts"]))
-    bucket = np.asarray(g1["occ_2_pnts"])[0]
+    t1 = grid_debug_tables(g1, spec)
+    t2 = grid_debug_tables(g2, spec)
+    np.testing.assert_array_equal(t1["occ_2_pnts"], t2["occ_2_pnts"])
+    bucket = t1["occ_2_pnts"][0]
     assert (bucket >= 0).sum() == 2
-    assert int(np.asarray(g1["occ_numpnts"])[0]) == 2
+    assert int(t1["occ_numpnts"][0]) == 2
 
 
 def test_point_mask_excludes_points():
@@ -68,7 +70,7 @@ def test_point_mask_excludes_points():
     spec = make_grid_spec(opt, max_points=2)
     grid = build_grid(jnp.asarray(xyz), jnp.array([True, False]), spec)
     assert int(grid["num_occ"]) == 1
-    o2p = np.asarray(grid["occ_2_pnts"])
+    o2p = grid_debug_tables(grid, spec)["occ_2_pnts"]
     assert set(o2p[o2p >= 0].tolist()) == {0}
 
 
@@ -77,7 +79,7 @@ def test_dilated_occupancy():
     xyz = np.array([[0.55, 0.55, 0.55]], dtype=np.float32)
     spec = make_grid_spec(opt, max_points=1)
     grid = build_grid(jnp.asarray(xyz), jnp.ones(1, bool), spec)
-    occ = np.asarray(grid["coor_occ"]).reshape(spec.vdim)
+    occ = grid_debug_tables(grid, spec)["coor_occ"].reshape(spec.vdim)
     center = brute_voxel(xyz, spec)[0]
     # all 27 neighbors occupied, two steps away not
     for d in [(-1, 0, 0), (1, 1, 1), (0, -1, 1)]:
@@ -110,7 +112,7 @@ def test_knn_matches_bruteforce():
     pidx = np.asarray(knn_neighbors(jnp.asarray(loc), mask, jnp.asarray(xyz),
                                     grid, spec, 4))
     # oracle: KNN restricted to candidate set = buckets of the 27 neighboring voxels
-    o2p = np.asarray(grid["occ_2_pnts"])
+    o2p = grid_debug_tables(grid, spec)["occ_2_pnts"]
     c2o = np.asarray(grid["coor_2_occ"]).reshape(spec.vdim)
     for b in range(1):
         for r in range(2):
@@ -229,7 +231,7 @@ def test_superset_build_shapes():
     assert grid["coor_slot"].shape == (spec.grid_size_vol,)
     # every dilated-occupied voxel maps to a valid slot
     cs = np.asarray(grid["coor_slot"])
-    co = np.asarray(grid["coor_occ"])
+    co = grid_debug_tables(grid, spec)["coor_occ"]
     assert ((cs >= 0) == (co > 0)).all()
     # superset rows hold real candidates: idx channel within range or padding
     sx = np.asarray(grid["super_xyz"]).reshape(1024, 4, 32)
