@@ -42,6 +42,39 @@ def center_poses(poses: np.ndarray):
     return centered[:, :3], avg_h
 
 
+def gen_render_path(c2ws: np.ndarray, n_views: int = 30) -> np.ndarray:
+    """Euler-interpolated camera fly-through over the given poses
+    (reference: utils/util.py:34-64 — per-segment linear interpolation of
+    xyz euler angles + positions, with a 360° unwrap against the first pose,
+    closing the loop back to pose 0). c2ws: [N,4,4] → [N·(n_views//3),4,4]."""
+    from scipy.spatial.transform import Rotation as R
+    N = len(c2ws)
+    weight = np.linspace(1.0, 0.0, n_views // 3, endpoint=False).reshape(-1, 1)
+    rotvec, positions = [], []
+    rot_interp, pos_interp = [], []
+    for i in range(N):
+        euler = R.from_matrix(
+            c2ws[i, :3, :3]).as_euler("xyz", degrees=True).reshape(1, 3)
+        if i:
+            mask = np.abs(euler - rotvec[0]) > 180
+            euler[mask] += 360.0
+        rotvec.append(euler)
+        positions.append(c2ws[i, :3, 3:].reshape(1, 3))
+        if i:
+            rot_interp.append(weight * rotvec[i - 1] + (1 - weight) * rotvec[i])
+            pos_interp.append(
+                weight * positions[i - 1] + (1 - weight) * positions[i])
+    rot_interp.append(weight * rotvec[-1] + (1 - weight) * rotvec[0])
+    pos_interp.append(weight * positions[-1] + (1 - weight) * positions[0])
+    out = []
+    for ang, pos in zip(np.concatenate(rot_interp), np.concatenate(pos_interp)):
+        c2w = np.eye(4)
+        c2w[:3, :3] = R.from_euler("xyz", ang, degrees=True).as_matrix()
+        c2w[:3, 3] = pos
+        out.append(c2w)
+    return np.stack(out).astype(np.float32)
+
+
 @register_dataset("llff_ft")
 class LlffFtDataset(BaseDataset):
 
@@ -88,14 +121,25 @@ class LlffFtDataset(BaseDataset):
         holdoff = max(2, getattr(opt, "testskip", 8))
         test_ids = self.all_id_list[::holdoff]
         train_ids = [i for i in self.all_id_list if i not in test_ids]
-        self.id_list = train_ids if split == "train" else test_ids
+        self.id_list = train_ids if split in ("train", "render") else test_ids
         self.cam2worlds = self.all_c2ws[self.id_list]
         self.world2cams = np.stack([np.linalg.inv(c) for c in self.cam2worlds])
         self.intrinsics = np.tile(K[None], (len(self.id_list), 1, 1))
         self.view_id_list = []
 
+        if split == "render":
+            self.render_poses = gen_render_path(self.cam2worlds, n_views=30)
+            self.total = len(self.render_poses)
+            return
         self._read_images()
         self.total = len(self.id_list)
+
+    def get_dummyrot_item(self, idx: int, rng=None):
+        """Render-path item without GT, for run/render_vid."""
+        rng = rng or np.random.RandomState()
+        return self.make_item(None, self.intrinsics[0], self.render_poses[idx],
+                              float(self.near_far[0]), float(self.near_far[1]),
+                              rng, idx, full_img=True)
 
     def _read_images(self):
         from PIL import Image

@@ -305,3 +305,23 @@ def import_official_mvsnet(sd: Dict) -> Dict:
         cost[name] = block
     return {"feature": import_torch_convnet(feat_sd),
             "cost_regularization": cost}
+
+
+def import_mvsnerf_featurenet(sd: Dict, prefix: str = "") -> Dict:
+    """MVSNeRF FPN FeatureNet torch state dict -> init_fpn_featurenet tree.
+
+    Layout (reference mvs/models.py:717-765): conv0/1/2 Sequentials of
+    ConvBnReLU(Conv2d bias=False + InPlaceABN) + a biased 1x1 toplayer; the
+    reference's `{iter}_net_mvs.pth` carries it under a 'FeatureNet.' prefix.
+    InPlaceABN buffers (weight/bias/running_mean/running_var) map exactly onto
+    batch_norm's scale/bias/mean/var — BN + leaky_relu(0.01), eps 1e-5.
+    """
+    flat = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if prefix and not k.startswith(prefix):
+            continue
+        flat[k[len(prefix):]] = v
+    assert flat, sorted(sd)[:8]
+    return import_torch_convnet(flat)

@@ -48,6 +48,20 @@ def depth2point(sampled_depth: jnp.ndarray, intrinsic: jnp.ndarray,
     return ndc_2_cam(ndc, near_far, intrinsic, W, H)
 
 
+def topk_depth_hypotheses(prob: jnp.ndarray, depth_values: jnp.ndarray,
+                          dnum: int, HW: Tuple[int, int]
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k multi-depth extraction (manual_depth_view >= 2): the dnum
+    highest-probability depth slices per pixel become depth hypotheses,
+    nearest-upsampled to full resolution (reference mvs_points_model.py:
+    322-334 — torch.topk over the prob volume + F.interpolate 'nearest').
+    prob: [D,h,w] softmaxed; returns (depths [dnum,H,W], conf [dnum,H,W])."""
+    conf_k, idx_k = jax.lax.top_k(prob.transpose(1, 2, 0), dnum)  # [h,w,dnum]
+    d_k = depth_values[idx_k]
+    return (resize_nearest(d_k.transpose(2, 0, 1), HW),
+            resize_nearest(conf_k.transpose(2, 0, 1), HW))
+
+
 def gau_sample_depth(key, cam_depth: jnp.ndarray, std: float, num: int,
                      near_far) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Manual-depth path: normalize depth to ndc, jitter with gaussian std,
@@ -285,9 +299,10 @@ def gen_points(params: Dict, opt, sample: Dict, key,
         return _gen_points_probnet(params, opt, sample, key, imgs, depth_vids,
                                    near_far, intrinsics, w2cs, c2ws, training)
 
+    dnum = opt.manual_depth_view
     depths, confs, nf_masks = [], [], []
     for vid in depth_vids:
-        if opt.manual_depth_view == 1:
+        if dnum == 1:
             nfd = sample["near_fars_depth"]
             dvals = nfd[0] + (nfd[1] - nfd[0]) / opt.depth_grid * \
                 jnp.arange(opt.depth_grid, dtype=jnp.float32)
@@ -297,22 +312,40 @@ def gen_points(params: Dict, opt, sample: Dict, key,
             # nearest-upsample h/4 -> full res (reference :330-333)
             d = resize_nearest(d[None], (H, W))[0]
             c = resize_nearest(c[None], (H, W))[0]
-        elif opt.manual_depth_view == 0:
+        elif dnum >= 2:
+            # top-k multi-depth init (reference mvs_points_model.py:318-334):
+            # the k highest-probability depth slices per pixel each become a
+            # depth hypothesis; confidence = its softmax probability.
+            nfd = sample["near_fars_depth"]
+            dvals = nfd[0] + (nfd[1] - nfd[0]) / opt.depth_grid * \
+                jnp.arange(opt.depth_grid, dtype=jnp.float32)
+            proj = jnp.asarray(sample["proj_mats"][vid])
+            _, _, prob = mvsnet_forward(params["mvsnet"], imgs, proj, dvals,
+                                        training=False)        # [D,h,w]
+            d, c = topk_depth_hypotheses(prob, dvals, dnum, (H, W))
+        elif dnum == 0:
             d = jnp.asarray(sample["depths_h"][vid])
             c = jnp.ones_like(d)
         else:
-            raise NotImplementedError(
-                f"manual_depth_view {opt.manual_depth_view}")
+            raise NotImplementedError(f"manual_depth_view {dnum}")
         depths.append(d)
         confs.append(c)
         nf_masks.append((d >= near_far[0]) & (d <= near_far[1]))
-    depths = jnp.stack(depths)           # [Vd,H,W] camera z-depth
+    depths = jnp.stack(depths)   # [Vd,H,W] camera z-depth ([Vd,dnum,H,W] if dnum>=2)
     confs = jnp.stack(confs)
     nf_masks = jnp.stack(nf_masks)
 
     K_d = intrinsics[jnp.asarray(depth_vids)]
     E_d = w2cs[jnp.asarray(depth_vids)]
-    if opt.manual_depth_view != 0 and len(depth_vids) >= 1:
+    if dnum >= 2:
+        # no geometric consistency for multi-hypothesis init: confidence
+        # threshold + near/far only, confidence scaled by 0.3 afterwards
+        # (reference filter_utils.py:230-235; reassign_conf asserts
+        # manual_depth_view <= 1 there, :271)
+        depth_avg = depths
+        keep = (confs > opt.depth_conf_thresh) & nf_masks
+        confs = confs * 0.3
+    elif dnum != 0 and len(depth_vids) >= 1:
         depth_avg, keep, confs, geo_sum = fusion.filter_by_masks(
             depths, K_d, E_d, confs, nf_masks.astype(jnp.float32),
             opt.depth_conf_thresh, opt.geo_cnsst_num)
@@ -333,8 +366,9 @@ def gen_points(params: Dict, opt, sample: Dict, key,
         ndc_depth, nf = gau_sample_depth(
             sub, depth_avg[i], opt.manual_std_depth, opt.num_each_depth,
             near_far)
-        cam_xyz = depth2point(ndc_depth, intrinsics[vid],
-                              near_far).reshape(-1, 3)        # [num*HW,3]
+        # ndc_depth is [num,H,W], or [num,dnum,H,W] for multi-hypothesis init
+        cam_xyz = depth2point(ndc_depth.reshape(-1, H, W), intrinsics[vid],
+                              near_far).reshape(-1, 3)        # [num*C*HW,3]
         conf_rows = jnp.tile(confs[i].reshape(-1, 1), (opt.num_each_depth, 1))
         keep_rows = jnp.tile((keep[i] & nf).reshape(-1), (opt.num_each_depth,))
         if opt.far_plane_shift is not None:
@@ -351,9 +385,11 @@ def gen_points(params: Dict, opt, sample: Dict, key,
             cam_xyz = jnp.concatenate([cam_xyz, bg_xyz], axis=0)
             conf_rows = jnp.concatenate(
                 [conf_rows, jnp.full((H * W, 1), 0.02, jnp.float32)], axis=0)
+            # bg shell where NO depth hypothesis was accepted for the pixel
+            # (reference filter_utils.py:276: sum(final_mask, dim=0) < 1)
+            kp = keep[i] if keep[i].ndim == 2 else jnp.any(keep[i], axis=0)
             keep_rows = jnp.concatenate(
-                [keep_rows,
-                 jnp.logical_not(keep[i].reshape(-1))], axis=0)
+                [keep_rows, jnp.logical_not(kp.reshape(-1))], axis=0)
         emb, col, drs, cf = query_embedding(
             params, opt, img_feats, cam_xyz, conf_rows,
             intrinsics, c2ws, w2cs, H, W, vid)

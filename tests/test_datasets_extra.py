@@ -136,3 +136,35 @@ def test_train_ft_on_scannet_depth_init(tmp_path):
     res = train_ft.main(opt)
     assert res["total_steps"] == 30
     assert np.isfinite(res["final_psnr"]) and res["final_psnr"] > 8.0
+
+
+def test_llff_render_split_spiral_path():
+    """LLFF render split: euler-interpolated fly-through poses
+    (reference utils/util.py:34-64) + GT-free render items."""
+    import tempfile
+    root = tempfile.mkdtemp(prefix="llff_r_")
+    make_llff_scene(root, n=9, wh=(40, 30))
+    opt = Options(data_root=root, scan="fern", dataset_name="llff_ft",
+                  img_wh=(40, 30), random_sample="random",
+                  random_sample_size=6, bg_color="white", testskip=4)
+    ds = create_dataset(opt, split="render")
+    n_train = 6  # 9 views, every-4th held out -> 3 test
+    assert len(ds) == n_train * (30 // 3)
+    poses = ds.render_poses
+    assert poses.shape == (len(ds), 4, 4)
+    # rotations stay orthonormal through the euler interpolation
+    RtR = np.einsum("nij,nik->njk", poses[:, :3, :3], poses[:, :3, :3])
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (len(ds), 1, 1)),
+                               atol=1e-5)
+    # the first pose of each segment is the segment's START training pose
+    np.testing.assert_allclose(poses[0, :3, 3], ds.cam2worlds[0, :3, 3],
+                               atol=1e-5)
+    # path stays within the bounding box of the training cameras (convex interp
+    # of positions)
+    lo, hi = ds.cam2worlds[:, :3, 3].min(0), ds.cam2worlds[:, :3, 3].max(0)
+    assert (poses[:, :3, 3] >= lo - 1e-4).all()
+    assert (poses[:, :3, 3] <= hi + 1e-4).all()
+    item = ds.get_dummyrot_item(3)
+    assert item.get("gt_image") is None
+    assert np.isfinite(item["raydir"]).all()
+    assert item["raydir"].shape == (1, 40 * 30, 3)

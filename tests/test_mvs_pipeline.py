@@ -412,3 +412,82 @@ def test_gen_points_probnet_mode(tmp_path_factory):
     g = jax.grad(f)(params["probnet"])
     gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_homo_warp_pad_identity():
+    """An identity projection must reproduce the source exactly on the
+    unpadded interior (ADVICE r2: the (W-1)/2 normalization requires
+    align_corners=True sampling; with align_corners=False an identity warp
+    was off by a spatially varying shift up to +-0.5 px)."""
+    from pointnerf_tpu.models.mvs.probnet import homo_warp_pad
+    src = jnp.asarray(RNG.randn(4, 10, 12).astype(np.float32))
+    proj = jnp.eye(3, 4, dtype=jnp.float32)        # src cam == ref cam
+    depths = jnp.asarray([1.0, 2.5], jnp.float32)
+    pad = 2
+    warped, inb = homo_warp_pad(src, proj, depths, pad)
+    assert warped.shape == (4, 2, 10 + 2 * pad, 12 + 2 * pad)
+    core = warped[:, :, pad:-pad, pad:-pad]
+    for d in range(2):  # depth-independent under identity projection
+        np.testing.assert_allclose(np.asarray(core[:, d]), np.asarray(src),
+                                   rtol=0, atol=1e-5)
+    # padded border is out of bounds for the source grid
+    assert np.asarray(inb)[0, 0, 0] == False  # noqa: E712
+
+
+def test_topk_depth_hypotheses_torch_parity():
+    """manual_depth_view >= 2 extraction matches the reference torch expression
+    (mvs_points_model.py:322-334: torch.topk over the softmax prob volume,
+    depth_values lookup, nearest interpolation to image res)."""
+    D, h, w, dnum, H, W = 12, 6, 8, 3, 24, 32
+    prob = RNG.rand(D, h, w).astype(np.float32)
+    prob = prob / prob.sum(0, keepdims=True)
+    dvals = np.linspace(2.0, 4.5, D).astype(np.float32)
+
+    d_got, c_got = pm.topk_depth_hypotheses(
+        jnp.asarray(prob), jnp.asarray(dvals), dnum, (H, W))
+
+    t_prob = torch.from_numpy(prob)[None]                 # [1,D,h,w]
+    c_want, idx = torch.topk(t_prob, dnum, dim=1)         # [1,dnum,h,w]
+    d_want = torch.from_numpy(dvals)[idx.view(-1)].view(1, dnum, h, w)
+    d_want = F.interpolate(d_want, size=(H, W), mode="nearest")[0]
+    c_want = F.interpolate(c_want, size=(H, W), mode="nearest")[0]
+    np.testing.assert_allclose(np.asarray(d_got), d_want.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_got), c_want.numpy(), rtol=1e-6)
+
+
+def test_gen_points_multi_depth_view(tmp_path_factory):
+    """manual_depth_view=3: each pixel contributes 3 depth hypotheses, conf is
+    the 0.3-scaled top-k probability, keep thresholds the UNscaled conf with
+    no geometric consistency (reference filter_utils.py:230-235)."""
+    root = str(tmp_path_factory.mktemp("mvs_md"))
+    make_nerf_synth_scene(root, wh=(64, 64), n_train=8, n_test=2)
+    opt = Options(
+        data_root=root, scan="plate", dataset_name="nerf_synth360_ft",
+        img_wh=(64, 64), near_plane=2.0, far_plane=4.5, bg_color="white",
+        manual_depth_view=3, init_view_num=3, depth_vid="0", depth_grid=24,
+        manual_std_depth=0.0, num_each_depth=1,
+        appr_feature_str0=("imgfeat_0_0123", "dir_0", "point_conf"),
+        point_features_dim=32, shading_feature_mlp_layer0=1,
+        depth_conf_thresh=0.02, geo_cnsst_num=0, full_comb=0,
+    )
+    ds = create_dataset(opt, split="train")
+    sample = ds.get_init_item(0)
+    params = pm.init_mvs_points_params(jax.random.PRNGKey(0), opt)
+    out = pm.gen_points(params, opt, sample, jax.random.PRNGKey(1))
+
+    H = W = 64
+    assert out["xyz_w"].shape == (3 * H * W, 3)           # dnum hypotheses/px
+    assert np.isfinite(np.asarray(out["xyz_w"])).all()
+    conf = np.asarray(out["conf"]).reshape(-1)
+    keep = np.asarray(out["keep"]).astype(bool)
+    # conf is a 0.3-scaled softmax prob: bounded by 0.3
+    assert conf.min() >= 0 and conf.max() <= 0.3 + 1e-6
+    # top-1 of a 24-bin softmax is >= 1/24 > thresh: some rows survive
+    assert keep.sum() > 0
+    # keep == (unscaled conf > thresh) & nearfar: all kept rows obey it
+    assert (conf[keep] / 0.3 > opt.depth_conf_thresh - 1e-6).all()
+    # kept points lie in the near/far depth range of the ref view
+    w2c = np.asarray(sample["w2cs"][0])
+    xyz = np.asarray(out["xyz_w"])[keep]
+    z = (np.concatenate([xyz, np.ones_like(xyz[:, :1])], -1) @ w2c.T)[:, 2]
+    assert z.min() >= 2.0 - 1e-3 and z.max() <= 4.5 + 1e-3
