@@ -248,6 +248,12 @@ class Options:
     lpips_vgg_path: str = ""
     prefetch_depth: int = 2                # host batches prepared ahead of the device
     remat: int = 0                         # rematerialize the shade phase in backward (memory; ~20% slower)
+    use_fused_trunk: int = -1              # Pallas fused PE+block1+block3+alpha trunk
+                                           # (ops/pallas_trunk.py). -1 = auto: on for TPU
+                                           # when the aggregator config qualifies
+                                           # (fused_trunk_ok); 0 = off; 1 = force (asserts
+                                           # the config, interpret-mode on CPU — slow).
+                                           # Bench A/B at lego shapes: 60.0k -> 72.2k rays/s.
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

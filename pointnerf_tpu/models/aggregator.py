@@ -327,7 +327,60 @@ def aggregator_forward(params: Dict, opt,
             dw = rot3(d[..., :3], sampled_Rw2c.T.astype(d.dtype))
         else:
             dw = rot3(d[..., :3], rw2cT)
-        d = jnp.concatenate([dw, d[..., 3:]], axis=-1)
+        d_raw = jnp.concatenate([dw, d[..., 3:]], axis=-1)
+
+        # ---- fused Pallas trunk (ops/pallas_trunk.py): PE + block1 +
+        # block3 + alpha head in one VMEM-resident kernel with a custom VJP
+        # that recomputes per tile — no [S,284]/[S,256] intermediates ever
+        # touch HBM in either direction. Bench A/B: 60.0k -> 72.2k rays/s.
+        uf = getattr(opt, "use_fused_trunk", 0)
+        use_fused = uf != 0 and uni_w2c and compute_dtype == jnp.float32
+        if use_fused:
+            from ..ops.pallas_trunk import (fused_trunk, fused_trunk_ok,
+                                            pack_trunk_params)
+            if uf > 0:
+                assert fused_trunk_ok(opt), \
+                    "use_fused_trunk=1 with an unsupported aggregator config"
+            else:
+                # auto: only on a real accelerator (interpret mode on CPU is
+                # for parity tests, far too slow for the test suite) and only
+                # when the config is inside the kernel's envelope
+                use_fused = fused_trunk_ok(opt) \
+                    and jax.default_backend() != "cpu"
+        if use_fused:
+            Fd = sampled_embedding.shape[-1]
+            ddc = d_raw.shape[-1]
+            sdir_f = rot3(sampled_dir.reshape(-1, 3),
+                          sampled_Rw2c.T.astype(jnp.float32))
+            ovd_f = jnp.broadcast_to(ori_viewdirs[..., None, :],
+                                     (B, R, SR, K, 3)).reshape(-1, 3)
+            ex3 = jnp.concatenate(
+                [sampled_color.reshape(-1, 3), sdir_f - ovd_f,
+                 jnp.sum(sdir_f * ovd_f, axis=-1, keepdims=True)], axis=-1)
+            ops = pack_trunk_params(params, Fd, ddc, opt.num_feat_freqs,
+                                    abs(opt.dist_xyz_freq))
+            interp = jax.default_backend() == "cpu"
+            x, alpha_raw = fused_trunk(
+                opt.shading_feature_mlp_layer1,
+                opt.shading_feature_mlp_layer3,
+                opt.num_feat_freqs, abs(opt.dist_xyz_freq),
+                512, interp,
+                sampled_embedding.reshape(-1, Fd),
+                d_raw.reshape(-1, ddc), ex3, ops)
+            F = x.shape[-1]
+            alpha_k = raw2out_density(opt, alpha_raw).reshape(B, R, SR, K, 1)
+            alpha = jnp.sum(alpha_k * w_eff[..., None], axis=-2).reshape(-1, 1)
+            feat_k = x.reshape(B, R, SR, K, F)
+            feat_pt = jnp.sum(feat_k * w_eff[..., None], axis=-2)
+            color = raw2out_color(opt, apply_mlp_pieces(
+                params["color_branch"],
+                [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)],
+                act, final_act=False, compute_dtype=compute_dtype))
+            out = jnp.concatenate([alpha, color], axis=-1).reshape(B, R, SR, 4)
+            out = out * ray_valid[..., None].astype(out.dtype)
+            return out, ray_valid, weight, conf_coefficient
+
+        d = d_raw
         if opt.dist_xyz_freq != 0:
             d = positional_encoding(d, abs(opt.dist_xyz_freq))
         pieces = [sampled_embedding.reshape(-1, sampled_embedding.shape[-1])]

@@ -46,9 +46,10 @@ class QueryOut(NamedTuple):
     ray_mask: jax.Array                      # [B,R] bool
     sample_ray_dirs: Optional[jax.Array]     # [B,R,SR,3] (frustum path only)
     q_overflow: jax.Array                    # [] int32 rows dropped pre-KNN
-    comp: Optional[tuple]                    # (comp_src [Nc], comp_valid [Nc],
-                                             #  c_pidx [Nc,K], row_valid
-                                             #  [B,R,SR]) pre-compacted query
+    comp: Optional[tuple]                    # (comp_src [B,Ncb], comp_valid
+                                             #  [B,Ncb], c_pidx [B,Ncb,K],
+                                             #  row_valid [B,R,SR]) per-batch-
+                                             #  row pre-compacted query
 
 
 def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
@@ -67,10 +68,17 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
         # perspective-frustum path (reference query_point_indices.py): a fresh
         # perspective grid per camera, spec must be a frustum GridSpec
         # (ops.frustum.make_frustum_spec). Returns per-sample ray dirs too.
+        # Serving fast path: if the caller passes a prebuilt frustum grid
+        # (dict carrying "xyz_pers"), reuse it across this camera's ray
+        # chunks instead of rebuilding the 30M-voxel grid per chunk (the
+        # reference rebuilds per query_points call, :92-94).
         from ..ops.frustum import build_frustum_grid, query_frustum_points
-        xyz = jax.lax.stop_gradient(point_state["xyz"])
-        fgrid, xyz_pers = build_frustum_grid(
-            xyz, point_state["mask"], batch["camrotc2w"], campos, spec)
+        if isinstance(grid, dict) and "xyz_pers" in grid:
+            fgrid, xyz_pers = grid, grid["xyz_pers"]
+        else:
+            xyz = jax.lax.stop_gradient(point_state["xyz"])
+            fgrid, xyz_pers = build_frustum_grid(
+                xyz, point_state["mask"], batch["camrotc2w"], campos, spec)
         sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask = \
             query_frustum_points(
                 raydir, batch["camrotc2w"], campos, xyz_pers, fgrid, spec,
@@ -137,27 +145,36 @@ def render_shade(agg_params: Dict,
         # size SR_budget to the scene's occupancy. The world-coord querier
         # already compacted (q_comp); the frustum querier returns full-shape
         # indices, so the map is derived here.
+        RS = R * SR
         if q_comp is not None:
-            comp_src, comp_valid, c_pidx_flat, ray_valid = q_comp
-            Nc = comp_src.shape[0]
-            c_pidx = c_pidx_flat.reshape(1, Nc, 1, -1)
+            # per-batch-row compaction from the query (see query_grid_points):
+            # comp_src/comp_valid [B,Ncb], c_pidx [B,Ncb,K]
+            comp_src, comp_valid, c_pidx_mat, ray_valid = q_comp
+            Ncb = comp_src.shape[1]
+            c_pidx = c_pidx_mat[:, :, None, :]                     # [B,Ncb,1,K]
         else:
-            vflat = jnp.any(sample_pidx >= 0, axis=-1).reshape(-1)     # [S]
-            cum = jnp.cumsum(vflat.astype(jnp.int32))
-            idx_s = jnp.arange(S, dtype=jnp.int32)
-            rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc + 1 + idx_s)
-            comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
-                idx_s, mode="drop", unique_indices=True)[:Nc]          # [Nc]
-            comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
+            Ncb = -(-Nc // B)
+            vmat = jnp.any(sample_pidx >= 0, axis=-1).reshape(B, RS)
+            cum = jnp.cumsum(vmat.astype(jnp.int32), axis=1)
+            idx_s = jnp.arange(RS, dtype=jnp.int32)
+            rank = jnp.where(vmat & (cum <= Ncb), cum - 1,
+                             Ncb + 1 + idx_s[None])
+            comp_src = jax.vmap(
+                lambda r: jnp.zeros((Ncb + 1,), jnp.int32).at[r].set(
+                    idx_s, mode="drop", unique_indices=True)[:Ncb])(rank)
+            comp_valid = jnp.arange(Ncb)[None] < jnp.minimum(cum[:, -1:], Ncb)
             ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
-            q_overflow = jnp.maximum(cum[-1] - Nc, 0) + q_overflow
+            q_overflow = jnp.sum(jnp.maximum(cum[:, -1] - Ncb, 0)) + q_overflow
+
+        goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]      # [B,1]
+        gsrc = (comp_src + goff).reshape(-1)                       # [B·Ncb]
 
         def compact(a, fill=0):
             flat = a.reshape((S,) + a.shape[3:])
-            out = flat[comp_src]
+            out = flat[gsrc]
             return jnp.where(
-                comp_valid.reshape((Nc,) + (1,) * (out.ndim - 1)),
-                out, fill).reshape((1, Nc, 1) + a.shape[3:])
+                comp_valid.reshape((B * Ncb,) + (1,) * (out.ndim - 1)),
+                out, fill).reshape((B, Ncb, 1) + a.shape[3:])
 
         if q_comp is None:
             c_pidx = compact(sample_pidx, fill=-1)
@@ -170,16 +187,19 @@ def render_shade(agg_params: Dict,
             compact(sample_loc_w), compact(sample_ray_dirs),
             spec.vsize, compute_dtype=compute_dtype)
 
-        # comp_src rows are distinct and padded rows get distinct
-        # out-of-bounds indices (dropped), so the scatter is provably
-        # unique — without the hint XLA lowers it as a sort-based scatter
-        # (profiled ~4 ms/step for the decoded values alone)
-        scat_idx = jnp.where(comp_valid, comp_src,
-                             S + jnp.arange(Nc, dtype=jnp.int32))
+        # comp_src+goff rows are distinct across and within batch rows, and
+        # padded rows get distinct out-of-bounds indices (dropped), so the
+        # scatter is provably unique — without the hint XLA lowers it as a
+        # sort-based scatter (profiled ~4 ms/step for the decoded values
+        # alone)
+        scat_idx = jnp.where(
+            comp_valid, comp_src + goff,
+            S + jnp.arange(B * Ncb, dtype=jnp.int32).reshape(B, Ncb)
+        ).reshape(-1)
 
         def scatter_back(c):
             flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[scat_idx].set(
-                c.reshape((Nc,) + c.shape[3:]), mode="drop",
+                c.reshape((B * Ncb,) + c.shape[3:]), mode="drop",
                 unique_indices=True)
             return flat.reshape((B, R, SR) + c.shape[3:])
 
@@ -197,11 +217,11 @@ def render_shade(agg_params: Dict,
         # above remain for API parity / eval consumers and are DCE'd from
         # the training program.
         compact_losses = {
-            "conf_compact": c_conf,                        # [1,Nc,1,K]
+            "conf_compact": c_conf,                        # [B,Ncb,1,K]
             "weight_compact": jax.lax.stop_gradient(c_weight),
             # broadcast-shaped against conf_compact so a stacked leading
             # chunk axis (trainer ray_chunk lax.map) broadcasts too
-            "compact_valid": comp_valid.reshape(1, Nc, 1, 1),
+            "compact_valid": comp_valid.reshape(B, Ncb, 1, 1),
             "zero_one_total": jnp.int32(S * c_conf.shape[-1]),
         }
     else:

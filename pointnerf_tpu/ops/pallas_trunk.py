@@ -1,0 +1,331 @@
+"""Pallas TPU kernel: fused per-neighbor shading trunk (forward + custom VJP).
+
+The aggregator's hot loop runs, per (shading point, neighbor) row:
+
+    x1 = [emb, PE(emb), PE(dists)]          (PE = sin(x @ S + phase))
+    h  = block1(x1)                          (1-2 leaky-relu Linear layers)
+    g  = block3([h, extra])                  (1-2 leaky-relu Linear layers)
+    a  = alpha_branch(g)                     (1 Linear layer, no activation)
+
+at S = Nc·K ≈ 400k rows per step (reference viewmlp, point_aggregators.py:
+488-644). Composed in XLA this materializes every intermediate ([S,284] PE
+input, two [S,256] hiddens per block) in HBM on the forward AND the backward
+pass — ~6 tensors × ~400 MB of traffic per direction at bench shapes, which
+is where the profiled "flat tail of ≤2.5 ms fusions" lives. This kernel keeps
+the whole chain in VMEM per row-tile: HBM traffic collapses to the [S,45]
+inputs, the [S,256]+[S,1] outputs, and their gradients; the backward kernel
+REcomputes the forward per tile (VMEM-speed remat) so no activations are
+ever stored.
+
+Weight layout note: all weight matrices live fully in VMEM (~1.3 MB for the
+lego config) and their gradients accumulate across the sequential TPU grid
+steps into VMEM-resident outputs.
+
+Used by models/aggregator.py when the config matches (fused_trunk_ok);
+parity-tested against the XLA composition in tests/test_pallas_trunk.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pe import _pe_selection_np
+
+NEG_SLOPE = 0.1  # LeakyReLU (models/networks.py::activation)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, NEG_SLOPE * x)
+
+
+def _dleaky(z):
+    return jnp.where(z >= 0, 1.0, NEG_SLOPE)
+
+
+# --------------------------------------------------------------- param pack
+def pack_trunk_params(agg_params: Dict, F_emb: int, dd: int,
+                      n_feat_freqs: int, n_dist_freqs: int) -> List:
+    """Flatten block1/block3/alpha_branch into the kernel's operand list.
+
+    block1 first-layer rows split by piece: [emb | PE(emb) | PE(dists)]
+    (same order aggregator_forward builds `pieces`).
+    """
+    b1 = agg_params["block1"]
+    b3 = agg_params["block3"]
+    al = agg_params["alpha_branch"]
+    pe_e = 2 * n_feat_freqs * F_emb
+    pe_d = 2 * n_dist_freqs * dd
+    w1 = b1[0]["w"]
+    assert w1.shape[0] == F_emb + pe_e + pe_d, (w1.shape, F_emb, pe_e, pe_d)
+    b2d = lambda b: b.reshape(1, -1)     # biases as [1,C]: 2-D VMEM refs
+    ops = [w1[:F_emb], w1[F_emb:F_emb + pe_e], w1[F_emb + pe_e:],
+           b2d(b1[0]["b"])]
+    for layer in b1[1:]:
+        ops += [layer["w"], b2d(layer["b"])]
+    w3 = b3[0]["w"]
+    H = b1[-1]["w"].shape[1]
+    ops += [w3[:H], w3[H:], b2d(b3[0]["b"])]
+    for layer in b3[1:]:
+        ops += [layer["w"], b2d(layer["b"])]
+    ops += [al[0]["w"], b2d(al[0]["b"])]
+    return ops
+
+
+def _unpack(ops, L1: int, L3: int):
+    """ops -> (w1e, w1p, w1d, b1, extra1[(w,b)...], w3x, w3e, b3,
+    extra3[(w,b)...], wa, ba)."""
+    i = 0
+    w1e, w1p, w1d, b1 = ops[i:i + 4]; i += 4
+    extra1 = []
+    for _ in range(L1 - 1):
+        extra1.append((ops[i], ops[i + 1])); i += 2
+    w3x, w3e, b3 = ops[i:i + 3]; i += 3
+    extra3 = []
+    for _ in range(L3 - 1):
+        extra3.append((ops[i], ops[i + 1])); i += 2
+    wa, ba = ops[i:i + 2]; i += 2
+    assert i == len(ops)
+    return w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3):
+    """Forward chain on one VMEM tile; returns intermediates for the bwd."""
+    w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
+        ops, L1, L3)
+    t_e = _dot(emb, Se) + pe
+    t_d = _dot(d, Sd) + pd
+    pe_e = jnp.sin(t_e)
+    pe_d = jnp.sin(t_d)
+    z1 = _dot(emb, w1e) + _dot(pe_e, w1p) + _dot(pe_d, w1d) + b1
+    hs = [_leaky(z1)]
+    zs1 = [z1]
+    for (w, b) in extra1:
+        z = _dot(hs[-1], w) + b
+        zs1.append(z)
+        hs.append(_leaky(z))
+    h = hs[-1]
+    z3 = _dot(h, w3x) + _dot(ex3, w3e) + b3
+    gs = [_leaky(z3)]
+    zs3 = [z3]
+    for (w, b) in extra3:
+        z = _dot(gs[-1], w) + b
+        zs3.append(z)
+        gs.append(_leaky(z))
+    g = gs[-1]
+    za = _dot(g, wa) + ba
+    return t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za
+
+
+def _fwd_kernel(L1, L3,
+                emb_ref, d_ref, ex3_ref, Se_ref, pe_ref, Sd_ref, pd_ref,
+                *rest):
+    n_ops = len(rest) - 2
+    ops = [r[:] for r in rest[:n_ops]]
+    feat_ref, alpha_ref = rest[n_ops:]
+    *_, g, za = _fwd_tile(emb_ref[:], d_ref[:], ex3_ref[:], ops,
+                          Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:], L1, L3)
+    feat_ref[:] = g
+    alpha_ref[:] = za
+
+
+def _bwd_kernel(L1, L3,
+                emb_ref, d_ref, ex3_ref, Se_ref, pe_ref, Sd_ref, pd_ref,
+                *rest):
+    """Recompute forward per tile, backprop; dW accumulate across grid."""
+    # layout: rest = ops..., dfeat, dalpha, demb, dd, dex3, dops...
+    Se, pe, Sd, pd = Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:]
+    n_ops = 4 + 2 * (L1 - 1) + 3 + 2 * (L3 - 1) + 2
+    ops = [r[:] for r in rest[:n_ops]]
+    dfeat_ref, dalpha_ref = rest[n_ops], rest[n_ops + 1]
+    demb_ref, dd_ref, dex3_ref = rest[n_ops + 2: n_ops + 5]
+    dops_refs = rest[n_ops + 5:]
+    assert len(dops_refs) == n_ops, (len(dops_refs), n_ops)
+
+    emb, d, ex3 = emb_ref[:], d_ref[:], ex3_ref[:]
+    w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
+        ops, L1, L3)
+    t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za = _fwd_tile(
+        emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3)
+
+    dza = dalpha_ref[:]
+    dg = dfeat_ref[:] + _dot(dza, wa.T)
+    grads = {}
+    grads[id(wa)] = _dot(g.T, dza)
+    grads[id(ba)] = jnp.sum(dza, axis=0, keepdims=True)
+
+    # block3 backward
+    dcur = dg
+    for li in range(L3 - 1, 0, -1):
+        w, b = extra3[li - 1]
+        dz = dcur * _dleaky(zs3[li])
+        grads[id(w)] = _dot(gs[li - 1].T, dz)
+        grads[id(b)] = jnp.sum(dz, axis=0, keepdims=True)
+        dcur = _dot(dz, w.T)
+    dz3 = dcur * _dleaky(zs3[0])
+    grads[id(w3x)] = _dot(hs[-1].T, dz3)
+    grads[id(w3e)] = _dot(ex3.T, dz3)
+    grads[id(b3)] = jnp.sum(dz3, axis=0, keepdims=True)
+    dex3_ref[:] = _dot(dz3, w3e.T)
+    dcur = _dot(dz3, w3x.T)
+
+    # block1 backward
+    for li in range(L1 - 1, 0, -1):
+        w, b = extra1[li - 1]
+        dz = dcur * _dleaky(zs1[li])
+        grads[id(w)] = _dot(hs[li - 1].T, dz)
+        grads[id(b)] = jnp.sum(dz, axis=0, keepdims=True)
+        dcur = _dot(dz, w.T)
+    dz1 = dcur * _dleaky(zs1[0])
+    grads[id(w1e)] = _dot(emb.T, dz1)
+    grads[id(w1p)] = _dot(pe_e.T, dz1)
+    grads[id(w1d)] = _dot(pe_d.T, dz1)
+    grads[id(b1)] = jnp.sum(dz1, axis=0, keepdims=True)
+
+    demb_ref[:] = _dot(dz1, w1e.T) \
+        + _dot(_dot(dz1, w1p.T) * jnp.cos(t_e), Se.T)
+    dd_ref[:] = _dot(_dot(dz1, w1d.T) * jnp.cos(t_d), Sd.T)
+
+    ordered = [w1e, w1p, w1d, b1]
+    for (w, b) in extra1:
+        ordered += [w, b]
+    ordered += [w3x, w3e, b3]
+    for (w, b) in extra3:
+        ordered += [w, b]
+    ordered += [wa, ba]
+
+    first = pl.program_id(0) == 0
+    for ref, arr in zip(dops_refs, ordered):
+        gval = grads[id(arr)].reshape(ref.shape)
+
+        @pl.when(first)
+        def _(ref=ref, gval=gval):
+            ref[:] = gval
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, gval=gval):
+            ref[:] = ref[:] + gval
+
+
+def _pe_consts(F_emb, dd, n_feat_freqs, n_dist_freqs):
+    Se, pe = _pe_selection_np(F_emb, n_feat_freqs)
+    Sd, pd = _pe_selection_np(dd, n_dist_freqs)
+    # phases as [1,C]: 2-D VMEM refs
+    return (jnp.asarray(Se), jnp.asarray(pe[None]), jnp.asarray(Sd),
+            jnp.asarray(pd[None]))
+
+
+def _pad_rows(x, T):
+    padn = (-x.shape[0]) % T
+    if padn:
+        x = jnp.concatenate(
+            [x, jnp.zeros((padn,) + x.shape[1:], x.dtype)], axis=0)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
+                tile: int, interpret: bool,
+                emb: jnp.ndarray, d: jnp.ndarray, ex3: jnp.ndarray,
+                ops: Sequence[jnp.ndarray]
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """emb [S,F], d [S,dd], ex3 [S,E3], ops from pack_trunk_params.
+    Returns (feat [S,H], alpha_raw [S,1])."""
+    return _fused_fwd_impl(L1, L3, n_feat_freqs, n_dist_freqs, tile,
+                           interpret, emb, d, ex3, ops)
+
+
+def _fused_fwd_impl(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops):
+    S = emb.shape[0]
+    F_emb, dd = emb.shape[1], d.shape[1]
+    H = ops[-2].shape[0]            # alpha weight [H,1]
+    Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
+    embp, dp, ex3p = (_pad_rows(x, tile) for x in (emb, d, ex3))
+    Sp = embp.shape[0]
+    grid = (Sp // tile,)
+    row_spec = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    feat, alpha = pl.pallas_call(
+        functools.partial(_fwd_kernel, L1, L3),
+        grid=grid,
+        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(ex3.shape[1])]
+        + [full(c) for c in (Se, pe, Sd, pd)] + [full(o) for o in ops],
+        out_specs=(row_spec(H), row_spec(1)),
+        out_shape=(jax.ShapeDtypeStruct((Sp, H), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp, 1), jnp.float32)),
+        interpret=interpret,
+    )(embp, dp, ex3p, Se, pe, Sd, pd, *ops)
+    return feat[:S], alpha[:S]
+
+
+def _fused_fwd_rule(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops):
+    out = _fused_fwd_impl(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops)
+    return out, (emb, d, ex3, tuple(ops))
+
+
+def _fused_bwd_rule(L1, L3, nf, nd, tile, interpret, res, cts):
+    emb, d, ex3, ops = res
+    dfeat, dalpha = cts
+    S = emb.shape[0]
+    F_emb, dd, E3 = emb.shape[1], d.shape[1], ex3.shape[1]
+    H = ops[-2].shape[0]
+    Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
+    embp, dp, ex3p, dfp, dap = (
+        _pad_rows(x, tile) for x in (emb, d, ex3, dfeat, dalpha))
+    Sp = embp.shape[0]
+    grid = (Sp // tile,)
+    row_spec = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, L1, L3),
+        grid=grid,
+        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(E3)]
+        + [full(c) for c in (Se, pe, Sd, pd)]
+        + [full(o) for o in ops] + [row_spec(H), row_spec(1)],
+        out_specs=tuple([row_spec(F_emb), row_spec(dd), row_spec(E3)]
+                        + [full(o) for o in ops]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((Sp, F_emb), jnp.float32),
+             jax.ShapeDtypeStruct((Sp, dd), jnp.float32),
+             jax.ShapeDtypeStruct((Sp, E3), jnp.float32)]
+            + [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in ops]),
+        interpret=interpret,
+    )(embp, dp, ex3p, Se, pe, Sd, pd, *ops, dfp, dap)
+    demb, ddists, dex3 = outs[0][:S], outs[1][:S], outs[2][:S]
+    dops = list(outs[3:])
+    return demb, ddists, dex3, dops
+
+
+fused_trunk.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def fused_trunk_ok(opt) -> bool:
+    """Config envelope the kernel supports (the full lego/nerf-synth family)."""
+    return (opt.act_type == "LeakyReLU"
+            and opt.shading_feature_mlp_layer1 in (1, 2)
+            and opt.shading_feature_mlp_layer2 == 0
+            and opt.shading_feature_mlp_layer3 in (1, 2)
+            and opt.shading_alpha_mlp_layer == 1
+            and opt.agg_intrp_order == 2
+            and opt.agg_feat_xyz_mode == "None"
+            and opt.agg_alpha_xyz_mode == "None"
+            and opt.num_feat_freqs > 0
+            and abs(opt.dist_xyz_freq) > 0
+            and "1" in list(opt.point_color_mode)
+            and "1" in list(opt.point_dir_mode)
+            and opt.agg_distance_kernel not in ("feat_intrp", "meta_intrp",
+                                                "sh_intrp", "gau_intrp"))

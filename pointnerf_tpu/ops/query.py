@@ -239,14 +239,19 @@ def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
 
     Returns (sample_pidx [B,R,SR,K] or None, sample_loc_w [B,R,SR,3],
              ray_mask [B,R] bool, q_overflow [] int32, comp).
-    When Nc is active sample_pidx is None and comp = (comp_src [Nc],
-    comp_valid [Nc], c_pidx [Nc,K], row_valid [B,R,SR]) — the shade phase
-    consumes the compacted indices directly instead of re-deriving the map.
+    When Nc is active sample_pidx is None and comp = (comp_src [B,Ncb],
+    comp_valid [B,Ncb], c_pidx [B,Ncb,K], row_valid [B,R,SR]) with
+    Ncb = ceil(Nc/B) — compaction is PER BATCH ROW (each camera's rows pack
+    into its own budget slice), so multi-camera batches and batch-axis data
+    parallelism keep the per-row camera association and the cumsum never
+    crosses a batch boundary. For B == 1 the program is identical to a flat
+    compaction. The shade phase consumes the compacted indices directly.
     """
     rp_valid = mask_raypos(raypos, grid, spec)
     sample_loc_w, sample_mask = select_shading_points(raypos, rp_valid, SR)
     B, R = raypos.shape[0], raypos.shape[1]
     S = B * R * SR
+    RS = R * SR
     q_overflow = jnp.zeros((), jnp.int32)
 
     def knn(loc, mask):
@@ -255,29 +260,38 @@ def query_grid_points(raypos: jnp.ndarray, xyz: jnp.ndarray, grid,
         return knn_neighbors(loc, mask, xyz, grid, spec, K)
 
     if 0 < Nc < S:
-        vflat = sample_mask.reshape(-1)
-        cum = jnp.cumsum(vflat.astype(jnp.int32))
-        idx_s = jnp.arange(S, dtype=jnp.int32)
+        Ncb = -(-Nc // B)
+        vmat = sample_mask.reshape(B, RS)
+        cum = jnp.cumsum(vmat.astype(jnp.int32), axis=1)          # [B,RS]
+        idx_s = jnp.arange(RS, dtype=jnp.int32)
         # dropped rows get DISTINCT out-of-bounds indices so every scatter
         # here is provably unique — XLA otherwise lowers them sort-based
-        rank = jnp.where(vflat & (cum <= Nc), cum - 1, Nc + 1 + idx_s)
-        comp_src = jnp.zeros((Nc + 1,), jnp.int32).at[rank].set(
-            idx_s, mode="drop", unique_indices=True)[:Nc]           # [Nc]
-        comp_valid = jnp.arange(Nc) < jnp.minimum(cum[-1], Nc)
-        c_loc = sample_loc_w.reshape(S, 3)[comp_src][None, :, None]  # [1,Nc,1,3]
-        c_pidx = knn(c_loc, comp_valid[None, :, None])               # [1,Nc,1,K]
-        c_pidx = jnp.where(comp_valid[:, None], c_pidx[0, :, 0], -1)  # [Nc,K]
+        rank = jnp.where(vmat & (cum <= Ncb), cum - 1,
+                         Ncb + 1 + idx_s[None])                   # [B,RS]
+        comp_src = jax.vmap(
+            lambda r: jnp.zeros((Ncb + 1,), jnp.int32).at[r].set(
+                idx_s, mode="drop", unique_indices=True)[:Ncb])(rank)  # [B,Ncb]
+        comp_valid = jnp.arange(Ncb)[None] < jnp.minimum(cum[:, -1:], Ncb)
+        # flat row gather with per-batch offsets (take_along_axis lowers to
+        # per-element gathers; the flat 2-D form is the fast path)
+        goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]      # [B,1]
+        c_loc = sample_loc_w.reshape(S, 3)[
+            (comp_src + goff).reshape(-1)].reshape(B, Ncb, 3)
+        c_pidx = knn(c_loc[:, :, None, :],
+                     comp_valid[:, :, None])                       # [B,Ncb,1,K]
+        c_pidx = jnp.where(comp_valid[..., None], c_pidx[:, :, 0], -1)
         # rows with ≥1 neighbor, scattered back to full shape (ONE scalar
-        # scatter per row; the [Nc,K] indices themselves stay compacted and
-        # flow straight into the shade phase's gathers)
-        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)           # [Nc]
-        vrows = jnp.zeros((S + 1,), bool).at[
-            jnp.where(comp_valid, comp_src,
-                      S + 1 + jnp.arange(Nc, dtype=jnp.int32))].set(
-            c_has, mode="drop", unique_indices=True)[:S]
-        row_valid = vrows.reshape(B, R, SR)
+        # scatter per row; the [B,Ncb,K] indices themselves stay compacted
+        # and flow straight into the shade phase's gathers)
+        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)         # [B,Ncb]
+        oob = RS + 1 + jnp.arange(Ncb, dtype=jnp.int32)
+        row_valid = jax.vmap(
+            lambda src_b, val_b, has_b: jnp.zeros((RS + 1,), bool).at[
+                jnp.where(val_b, src_b, oob)].set(
+                has_b, mode="drop", unique_indices=True)[:RS])(
+            comp_src, comp_valid, c_has).reshape(B, R, SR)
         ray_mask = jnp.any(row_valid, axis=-1)
-        q_overflow = jnp.maximum(cum[-1] - Nc, 0)
+        q_overflow = jnp.sum(jnp.maximum(cum[:, -1] - Ncb, 0))
         comp = (comp_src, comp_valid, c_pidx, row_valid)
         return None, sample_loc_w, ray_mask, q_overflow, comp
 

@@ -1,0 +1,159 @@
+"""Frustum (dtu_inf) path on the real TPU (VERDICT r2 item 3: the
+perspective querier had only ever run under CPU oracle tests).
+
+Measures, at the dtu_inf preset's production shapes (640x512 images,
+vdim 320x256x400 = 32.7M frustum voxels, max_o=1e6, P=20, SR=40, K=8):
+
+  * per-camera frustum grid build ms (reference rebuilds per query_points
+    call, query_point_indices.py:92-94),
+  * per-chunk query ms at the preset's 48^2-ray chunks,
+  * full 640x512 feed-forward render seconds (143 chunks; grid built once
+    per camera and reused across chunks — the reference rebuilds per chunk).
+
+Run:  python scripts/frustum_bench.py [--points 300000] [--full-image]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=300000)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--full-image", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from pointnerf_tpu.config import dtu_inf_preset
+    from pointnerf_tpu.models import neural_points as npc
+    from pointnerf_tpu.models.renderer import render_forward
+    from pointnerf_tpu.ops.frustum import (build_frustum_grid,
+                                           make_frustum_spec,
+                                           query_frustum_points)
+    from pointnerf_tpu.train import trainer
+
+    opt = dtu_inf_preset("scan1")
+    W, H = opt.img_wh
+    rng = np.random.RandomState(0)
+
+    # DTU-like intrinsics / camera; synthetic cloud filling the frustum
+    K = np.array([[360.0, 0.0, W / 2], [0.0, 360.0, H / 2], [0.0, 0.0, 1.0]],
+                 np.float32)
+    near, far = 2.125, 4.525
+    campos = np.zeros((1, 3), np.float32)
+    camrot = np.eye(3, dtype=np.float32)[None]        # c2w: cam +z into scene
+
+    # points: a noisy surface shell at mid depth + volumetric scatter,
+    # expressed in world = camera frame (identity pose)
+    n = args.points
+    px = rng.uniform(0, W, n)
+    py = rng.uniform(0, H, n)
+    z_surface = 3.0 + 0.4 * np.sin(px / W * 9) * np.cos(py / H * 7) \
+        + rng.normal(0, 0.02, n)
+    z_vol = rng.uniform(near, far, n)
+    z = np.where(rng.rand(n) < 0.7, z_surface, z_vol).astype(np.float32)
+    x = (px - K[0, 2]) / K[0, 0] * z
+    y = (py - K[1, 2]) / K[1, 1] * z
+    xyz = np.stack([x, y, z], -1).astype(np.float32)
+
+    emb = rng.uniform(-0.5, 0.5, (n, opt.point_features_dim)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    conf = np.full((n, 1), 0.9, np.float32)
+    state = npc.create_point_cloud(xyz, emb, color, dirs, conf)
+
+    spec = make_frustum_spec(opt, K, W, H, near, far)
+    print(json.dumps({"vdim": list(spec.vdim), "max_o": spec.max_o,
+                      "P": spec.P, "points": n}))
+
+    # ---------------------------------------------------------- grid build
+    fgrid, xyz_pers = build_frustum_grid(
+        jnp.asarray(state["xyz"]), jnp.asarray(state["mask"]),
+        jnp.asarray(camrot), jnp.asarray(campos), spec)
+    float(jnp.sum(fgrid["num_occ"]))                   # compile barrier
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        fgrid, xyz_pers = build_frustum_grid(
+            jnp.asarray(state["xyz"]), jnp.asarray(state["mask"]),
+            jnp.asarray(camrot), jnp.asarray(campos), spec)
+    nocc = float(jnp.sum(fgrid["num_occ"]))
+    build_ms = (time.perf_counter() - t0) / args.iters * 1000.0
+    print(json.dumps({"grid_build_ms": round(build_ms, 1),
+                      "occupied_voxels": int(nocc)}))
+
+    # -------------------------------------------------------------- query
+    R = opt.random_sample_size ** 2
+    pxs = rng.uniform(0, W, (1, R)).astype(np.float32)
+    pys = rng.uniform(0, H, (1, R)).astype(np.float32)
+    rd = np.stack([(pxs - K[0, 2]) / K[0, 0],
+                   (pys - K[1, 2]) / K[1, 1],
+                   np.ones_like(pxs)], -1).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    raydir = jnp.asarray(rd)
+
+    out = query_frustum_points(raydir, jnp.asarray(camrot),
+                               jnp.asarray(campos), xyz_pers, fgrid, spec,
+                               SR=opt.SR, K=opt.K)
+    float(jnp.sum(out[0]))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = query_frustum_points(raydir, jnp.asarray(camrot),
+                                   jnp.asarray(campos), xyz_pers, fgrid,
+                                   spec, SR=opt.SR, K=opt.K)
+    hit = float(jnp.mean(out[3]))
+    query_ms = (time.perf_counter() - t0) / args.iters * 1000.0
+    print(json.dumps({"query_ms_per_2304_rays": round(query_ms, 1),
+                      "ray_hit_rate": round(hit, 3)}))
+
+    if not args.full_image:
+        return
+
+    # -------------------------------------------- full 640x512 render
+    # feed-forward shading (agg_intrp_order=1 preset); grid reused across
+    # chunks via render_query's prebuilt-grid fast path
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    n_chunks = (W * H) // R
+    pxg, pyg = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    rdall = np.stack([(pxg - K[0, 2]) / K[0, 0],
+                      (pyg - K[1, 2]) / K[1, 1],
+                      np.ones_like(pxg)], -1).reshape(-1, 3).astype(np.float32)
+    rdall /= np.linalg.norm(rdall, axis=-1, keepdims=True)
+
+    batch0 = {
+        "campos": jnp.asarray(campos), "camrotc2w": jnp.asarray(camrot),
+        "near": near, "far": far,
+        "bg_color": jnp.zeros((1, 3), jnp.float32),
+    }
+    point_state = trainer.point_state_of(ts)
+    fgrid_srv = dict(fgrid, xyz_pers=xyz_pers)   # prebuilt-grid fast path
+
+    def render_chunk(raydir_c):
+        return render_forward(ts.agg_params, point_state, fgrid_srv, spec,
+                              opt, dict(batch0, raydir=raydir_c), key=None,
+                              is_train=False)["coarse_raycolor"]
+
+    jit_chunk = jax.jit(render_chunk)
+    c0 = jit_chunk(jnp.asarray(rdall[:R][None]))
+    float(jnp.sum(c0))
+    t0 = time.perf_counter()
+    for ci in range(n_chunks):
+        c = jit_chunk(jnp.asarray(rdall[ci * R:(ci + 1) * R][None]))
+    float(jnp.sum(c))
+    img_s = time.perf_counter() - t0
+    print(json.dumps({"render_640x512_s": round(img_s, 2),
+                      "chunks": n_chunks,
+                      "ms_per_chunk": round(img_s / n_chunks * 1000.0, 1)}))
+
+
+if __name__ == "__main__":
+    main()

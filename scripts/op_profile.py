@@ -1,0 +1,102 @@
+"""Op-level profile of the bench train step: top XLA ops by device self-time.
+
+Captures a jax.profiler trace of `train_steps_scan` on the current backend
+and parses the xplane proto directly (tensorflow's xplane_pb2 is in the
+image), printing the top-N ops aggregated by name — the data behind the
+roofline/fusion decisions (BASELINE.md).
+
+Run:  python scripts/op_profile.py [--iters 8] [--top 30] [--superset_P 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import sys
+import tempfile
+
+
+def parse_xplanes(logdir: str, top: int):
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    assert paths, f"no xplane.pb under {logdir}"
+    totals = collections.Counter()
+    counts = collections.Counter()
+    device_total_ps = 0
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            pname = plane.name.lower()
+            if not ("tpu" in pname or "device" in pname or "gpu" in pname):
+                continue
+            if "host" in pname:
+                continue
+            emeta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                lname = line.name.lower()
+                if "xla op" in lname or "xla_op" in lname:
+                    continue  # per-HLO line double-counts the op line below
+                if not ("xla" in lname or "ops" in lname or "tensor" in lname):
+                    continue
+                for ev in line.events:
+                    name = emeta.get(ev.metadata_id, str(ev.metadata_id))
+                    totals[name] += ev.duration_ps
+                    counts[name] += 1
+                    device_total_ps += ev.duration_ps
+    rows = []
+    for name, ps in totals.most_common(top):
+        rows.append({"op": name[:110], "ms_total": round(ps / 1e9, 2),
+                     "calls": counts[name],
+                     "pct": round(100.0 * ps / max(device_total_ps, 1), 1)})
+    return rows, device_total_ps / 1e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--rays", type=int, default=3600)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--superset_P", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    from bench import make_workload
+    from pointnerf_tpu.train import trainer
+
+    import math
+    rss = int(math.isqrt(args.rays))
+    over = {"random_sample_size": rss}
+    if args.superset_P is not None:
+        over["superset_P"] = args.superset_P
+    opt, state, spec, grid, ts, batch = make_workload(**over)
+    S = args.iters
+    key0 = jax.random.PRNGKey(7)
+    batches = {k: (jnp.stack([v] * S) if hasattr(v, "ndim")
+                   else jnp.full((S,), v, jnp.float32))
+               for k, v in batch.items()}
+    # compile + warm
+    ts2, items = trainer.train_steps_scan(ts, grid, batches, key0, opt, spec)
+    float(items["loss_total"][-1])
+
+    logdir = tempfile.mkdtemp(prefix="opprof_")
+    with jax.profiler.trace(logdir):
+        ts2, items = trainer.train_steps_scan(ts, grid, batches, key0, opt,
+                                              spec)
+        float(items["loss_total"][-1])
+
+    rows, total_s = parse_xplanes(logdir, args.top)
+    print(json.dumps({"device_busy_s_total": round(total_s, 3),
+                      "iters_traced": S,
+                      "per_iter_ms": round(total_s / S * 1000.0, 2)}))
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rays", type=int, default=3600)
+    ap.add_argument("--superset_P", type=int, default=None,
+                    help="override preset superset_P (the remote compile "
+                    "service 413-rejects the largest standalone phase "
+                    "programs at P2=64; the full train step compiles)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +58,10 @@ def main():
 
     import math
     rss = int(math.isqrt(args.rays))
-    opt, state, spec, grid, ts, batch = make_workload(random_sample_size=rss)
+    over = {"random_sample_size": rss}
+    if args.superset_P is not None:
+        over["superset_P"] = args.superset_P
+    opt, state, spec, grid, ts, batch = make_workload(**over)
     S = args.iters
     key0 = jax.random.PRNGKey(7)
     point_state = trainer.point_state_of(ts)

@@ -288,3 +288,48 @@ def test_ray_chunked_grads_match_unchunked():
     for i in range(30):
         cur, items = trainer.train_step(cur, grid, batch, key, opt_c, spec)
     assert float(items["loss_ray_masked_coarse_raycolor"]) < a * 0.8
+
+
+def test_sr_budget_compaction_batched_matches_per_camera():
+    """B=2 batches with compaction: per-batch-row compaction must reproduce
+    the two single-camera renders exactly (the round-2 flat compaction mixed
+    rows across cameras and crashed in gather_neighbors for B>1)."""
+    opt, state, spec, grid, batch1, xyz = tiny_setup()
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+
+    # second camera: shifted + slightly rotated
+    ang = 0.1
+    rot2 = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                     [-np.sin(ang), 0, np.cos(ang)]], np.float32)[None]
+    campos2 = np.array([[0.3, -0.2, -2.8]], np.float32)
+    raydir2 = np.asarray(batch1["raydir"]) @ rot2[0].T
+    batch2 = dict(batch1, campos=jnp.asarray(campos2),
+                  camrotc2w=jnp.asarray(rot2), raydir=jnp.asarray(raydir2))
+
+    R = batch1["raydir"].shape[1]
+    opt_c = opt.replace(SR_budget=2 * R * opt.SR)   # >= any valid count
+
+    outs = [trainer.eval_step(ts, grid, b, opt_c, spec)
+            for b in (batch1, batch2)]
+
+    batched = {
+        k: (jnp.concatenate([batch1[k], batch2[k]], axis=0)
+            if hasattr(batch1[k], "ndim") else batch1[k])
+        for k in batch1}
+    out_b = trainer.eval_step(ts, grid, batched, opt_c, spec)
+    assert int(out_b["sr_overflow"]) == 0
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_b["coarse_raycolor"][b]),
+            np.asarray(outs[b]["coarse_raycolor"][0]), atol=1e-5,
+            err_msg=f"camera {b}")
+        np.testing.assert_array_equal(np.asarray(out_b["ray_mask"][b]),
+                                      np.asarray(outs[b]["ray_mask"][0]))
+
+    # training runs through the batched compacted path
+    gt1, _ = make_gt(batch1)
+    gt2, _ = make_gt(batch2)
+    bt = dict(batched, gt_image=jnp.concatenate([gt1, gt2], axis=0))
+    _, items = trainer.train_step(ts, grid, bt, jax.random.PRNGKey(1),
+                                  opt_c, spec)
+    assert np.isfinite(float(items["loss_total"]))
