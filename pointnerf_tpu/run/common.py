@@ -295,6 +295,18 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                    if k in item}
     group = max(1, int(group))
 
+    if opt.wcoord_query == 0 and "xyz_pers" not in grid:
+        # frustum serving fast path: build the per-camera perspective grid
+        # ONCE and reuse it for every chunk of this image (render_query's
+        # prebuilt-grid branch); the reference rebuilds its 30M-voxel grid
+        # per query_points call (query_point_indices.py:92-94)
+        from ..ops.frustum import build_frustum_grid
+        ps = trainer.point_state_of(ts)
+        fgrid, xyz_pers = build_frustum_grid(
+            ps["xyz"], ps["mask"], jnp.asarray(item["camrotc2w"]),
+            jnp.asarray(item["campos"]), spec)
+        grid = dict(fgrid, xyz_pers=xyz_pers)
+
     # budget ladder: training budget -> 2x -> off (each rung is one compiled
     # program, shared by every group and image at that rung)
     from ..models.renderer import effective_sr_budget

@@ -247,3 +247,51 @@ def test_render_forward_frustum_mode():
     assert bool(np.any(np.asarray(out["ray_mask"])))
     gsum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_frustum_prebuilt_grid_fast_path_exact():
+    """The serving fast path (grid built once per camera, reused across
+    chunks — render_query's prebuilt branch) must reproduce the per-call
+    rebuild exactly."""
+    from pointnerf_tpu.models import neural_points as npc
+    from pointnerf_tpu.models.aggregator import init_aggregator_params
+    from pointnerf_tpu.models.renderer import render_forward
+    from pointnerf_tpu.ops.frustum import build_frustum_grid
+
+    opt = frustum_opt(
+        wcoord_query=0, point_features_dim=8, shading_feature_num=16,
+        shading_feature_mlp_layer1=1, shading_feature_mlp_layer3=1,
+        num_feat_freqs=0, dist_xyz_freq=2, agg_intrp_order=2,
+        num_viewdir_freqs=2, z_depth_dim=8, SR=4, K=3,
+        which_ray_generation="near_far_linear",
+        near_plane=NEAR, far_plane=FAR,
+    )
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene(n=150)
+    rng = np.random.RandomState(5)
+    state = npc.create_point_cloud(
+        xyz, rng.rand(150, 8).astype(np.float32) - 0.5,
+        color=rng.rand(150, 3).astype(np.float32),
+        direction=np.tile(np.array([0, 0, 1], np.float32), (150, 1)),
+        conf=np.ones((150, 1), np.float32))
+    pixels = rng.randint(0, W, (16, 2)).astype(np.float64)
+    batch = {
+        "raydir": jnp.asarray(pixel_rays(pixels)),
+        "campos": jnp.asarray(campos),
+        "camrotc2w": jnp.asarray(camrot),
+        "near": NEAR, "far": FAR,
+        "bg_color": jnp.ones((1, 3), jnp.float32),
+    }
+    params = init_aggregator_params(jax.random.PRNGKey(0), opt)
+
+    out_rebuild = render_forward(params, state, None, spec, opt, batch,
+                                 key=None, is_train=False)
+    fgrid, xyz_pers = build_frustum_grid(
+        state["xyz"], state["mask"], batch["camrotc2w"], batch["campos"],
+        spec)
+    out_fast = render_forward(params, state, dict(fgrid, xyz_pers=xyz_pers),
+                              spec, opt, batch, key=None, is_train=False)
+    np.testing.assert_array_equal(np.asarray(out_fast["coarse_raycolor"]),
+                                  np.asarray(out_rebuild["coarse_raycolor"]))
+    np.testing.assert_array_equal(np.asarray(out_fast["ray_mask"]),
+                                  np.asarray(out_rebuild["ray_mask"]))
