@@ -104,6 +104,7 @@ def main():
 
     out = {
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
+        "rays_axis_note": "R sharded over 'rays', point tables over 'points'",
         "rays": args.rays, "points": args.points,
         "superset_P": args.superset_P, "max_o": spec.max_o,
         "backend": "cpu-virtual (relative timing only)",
@@ -115,6 +116,8 @@ def main():
         "sharded_buffers": sharded,
     }
     print(json.dumps(out, indent=1))
+    with open("MULTICHIP_BENCH.json", "w") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
