@@ -137,17 +137,21 @@ def main():
     point_state = trainer.point_state_of(ts)
     fgrid_srv = dict(fgrid, xyz_pers=xyz_pers)   # prebuilt-grid fast path
 
-    def render_chunk(raydir_c):
-        return render_forward(ts.agg_params, point_state, fgrid_srv, spec,
-                              opt, dict(batch0, raydir=raydir_c), key=None,
+    # state/grid must be jit ARGUMENTS: a closure would embed the ~400MB of
+    # tables as HLO constants and 413-reject the remote compile service
+    def render_chunk(agg_params, ps, g, raydir_c):
+        return render_forward(agg_params, ps, g, spec, opt,
+                              dict(batch0, raydir=raydir_c), key=None,
                               is_train=False)["coarse_raycolor"]
 
     jit_chunk = jax.jit(render_chunk)
-    c0 = jit_chunk(jnp.asarray(rdall[:R][None]))
+    c0 = jit_chunk(ts.agg_params, point_state, fgrid_srv,
+                   jnp.asarray(rdall[:R][None]))
     float(jnp.sum(c0))
     t0 = time.perf_counter()
     for ci in range(n_chunks):
-        c = jit_chunk(jnp.asarray(rdall[ci * R:(ci + 1) * R][None]))
+        c = jit_chunk(ts.agg_params, point_state, fgrid_srv,
+                      jnp.asarray(rdall[ci * R:(ci + 1) * R][None]))
     float(jnp.sum(c))
     img_s = time.perf_counter() - t0
     print(json.dumps({"render_640x512_s": round(img_s, 2),
