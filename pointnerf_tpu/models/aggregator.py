@@ -360,21 +360,21 @@ def aggregator_forward(params: Dict, opt,
             ops = pack_trunk_params(params, Fd, ddc, opt.num_feat_freqs,
                                     abs(opt.dist_xyz_freq))
             interp = jax.default_backend() == "cpu"
-            x, alpha_raw = fused_trunk(
+            # the kernel also applies raw2out_density per neighbor and does
+            # the weighted K-aggregation in VMEM: outputs are per shading
+            # point ([S/K, ...]), so per-neighbor activations never hit HBM
+            feat_pt, alpha = fused_trunk(
                 opt.shading_feature_mlp_layer1,
                 opt.shading_feature_mlp_layer3,
                 opt.num_feat_freqs, abs(opt.dist_xyz_freq),
-                512, interp,
+                K, opt.act_super > 0, 512, interp,
                 sampled_embedding.reshape(-1, Fd),
-                d_raw.reshape(-1, ddc), ex3, ops)
-            F = x.shape[-1]
-            alpha_k = raw2out_density(opt, alpha_raw).reshape(B, R, SR, K, 1)
-            alpha = jnp.sum(alpha_k * w_eff[..., None], axis=-2).reshape(-1, 1)
-            feat_k = x.reshape(B, R, SR, K, F)
-            feat_pt = jnp.sum(feat_k * w_eff[..., None], axis=-2)
+                d_raw.reshape(-1, ddc), ex3,
+                w_eff.reshape(-1, 1), ops)
+            F = feat_pt.shape[-1]
             color = raw2out_color(opt, apply_mlp_pieces(
                 params["color_branch"],
-                [feat_pt.reshape(-1, F), viewdirs_pe.reshape(B * R * SR, -1)],
+                [feat_pt, viewdirs_pe.reshape(B * R * SR, -1)],
                 act, final_act=False, compute_dtype=compute_dtype))
             out = jnp.concatenate([alpha, color], axis=-1).reshape(B, R, SR, 4)
             out = out * ray_valid[..., None].astype(out.dtype)

@@ -127,39 +127,72 @@ def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3):
     return t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za
 
 
-def _fwd_kernel(L1, L3,
-                emb_ref, d_ref, ex3_ref, Se_ref, pe_ref, Sd_ref, pd_ref,
-                *rest):
+def _alpha_act(za, act_super):
+    """raw2out_density (models/aggregator.py:120-124): softplus(x-1) mip-nerf
+    stabilization, or plain relu."""
+    return jax.nn.softplus(za - 1.0) if act_super else jax.nn.relu(za)
+
+
+def _dalpha_act(za, act_super):
+    return jax.nn.sigmoid(za - 1.0) if act_super else \
+        jnp.where(za >= 0, 1.0, 0.0)
+
+
+def _group_sum(x, K):
+    T, C = x.shape
+    return jnp.sum(x.reshape(T // K, K, C), axis=1)
+
+
+def _fwd_kernel(L1, L3, K, act_super,
+                emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
+                pd_ref, *rest):
     n_ops = len(rest) - 2
     ops = [r[:] for r in rest[:n_ops]]
     feat_ref, alpha_ref = rest[n_ops:]
     *_, g, za = _fwd_tile(emb_ref[:], d_ref[:], ex3_ref[:], ops,
                           Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:], L1, L3)
-    feat_ref[:] = g
-    alpha_ref[:] = za
+    w = w_ref[:]                                  # [T,1] neighbor weights
+    # per-neighbor density activation BEFORE the weighted K-sum (reference
+    # agg_intrp_order==2, point_aggregators.py:601-639), then aggregate the
+    # K neighbors of each shading point in-VMEM: the kernel's output traffic
+    # drops K-fold vs emitting per-neighbor rows
+    feat_ref[:] = _group_sum(g * w, K)
+    alpha_ref[:] = _group_sum(_alpha_act(za, act_super) * w, K)
 
 
-def _bwd_kernel(L1, L3,
-                emb_ref, d_ref, ex3_ref, Se_ref, pe_ref, Sd_ref, pd_ref,
-                *rest):
+def _bwd_kernel(L1, L3, K, act_super,
+                emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
+                pd_ref, *rest):
     """Recompute forward per tile, backprop; dW accumulate across grid."""
-    # layout: rest = ops..., dfeat, dalpha, demb, dd, dex3, dops...
+    # layout: rest = ops..., dfeat_pt, dalpha_pt, demb, dd, dex3, dw, dops...
     Se, pe, Sd, pd = Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:]
     n_ops = 4 + 2 * (L1 - 1) + 3 + 2 * (L3 - 1) + 2
     ops = [r[:] for r in rest[:n_ops]]
     dfeat_ref, dalpha_ref = rest[n_ops], rest[n_ops + 1]
-    demb_ref, dd_ref, dex3_ref = rest[n_ops + 2: n_ops + 5]
-    dops_refs = rest[n_ops + 5:]
+    demb_ref, dd_ref, dex3_ref, dw_ref = rest[n_ops + 2: n_ops + 6]
+    dops_refs = rest[n_ops + 6:]
     assert len(dops_refs) == n_ops, (len(dops_refs), n_ops)
 
-    emb, d, ex3 = emb_ref[:], d_ref[:], ex3_ref[:]
+    emb, d, ex3, w = emb_ref[:], d_ref[:], ex3_ref[:], w_ref[:]
     w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
         ops, L1, L3)
     t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za = _fwd_tile(
         emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3)
 
-    dza = dalpha_ref[:]
-    dg = dfeat_ref[:] + _dot(dza, wa.T)
+    # un-group the shading-point cotangents to neighbor rows
+    T = emb.shape[0]
+
+    def ungroup(x):
+        C = x.shape[1]
+        return jnp.broadcast_to(x[:, None, :], (T // K, K, C)).reshape(T, C)
+
+    dfeat_pt = ungroup(dfeat_ref[:])              # [T,H]
+    dalpha_pt = ungroup(dalpha_ref[:])            # [T,1]
+    a_act = _alpha_act(za, act_super)
+    dw_ref[:] = jnp.sum(g * dfeat_pt, axis=1, keepdims=True) \
+        + a_act * dalpha_pt
+    dza = dalpha_pt * w * _dalpha_act(za, act_super)
+    dg = dfeat_pt * w + _dot(dza, wa.T)
     grads = {}
     grads[id(wa)] = _dot(g.T, dza)
     grads[id(ba)] = jnp.sum(dza, axis=0, keepdims=True)
@@ -233,81 +266,93 @@ def _pad_rows(x, T):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
-                tile: int, interpret: bool,
+                K: int, act_super: bool, tile: int, interpret: bool,
                 emb: jnp.ndarray, d: jnp.ndarray, ex3: jnp.ndarray,
-                ops: Sequence[jnp.ndarray]
+                w: jnp.ndarray, ops: Sequence[jnp.ndarray]
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """emb [S,F], d [S,dd], ex3 [S,E3], ops from pack_trunk_params.
-    Returns (feat [S,H], alpha_raw [S,1])."""
-    return _fused_fwd_impl(L1, L3, n_feat_freqs, n_dist_freqs, tile,
-                           interpret, emb, d, ex3, ops)
+    """emb/d/ex3 [S,*] per-NEIGHBOR rows (S = n_points*K, the K neighbors of
+    each shading point contiguous), w [S,1] effective neighbor weights, ops
+    from pack_trunk_params. Returns the per-SHADING-POINT aggregates
+    (feat_pt [S/K,H] = sum_k w*g, alpha_pt [S/K,1] = sum_k w*act(alpha_raw))
+    — the K-reduction happens inside the kernel, so per-neighbor features
+    never reach HBM."""
+    return _fused_fwd_impl(L1, L3, n_feat_freqs, n_dist_freqs, K, act_super,
+                           tile, interpret, emb, d, ex3, w, ops)
 
 
-def _fused_fwd_impl(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops):
+def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
+                    emb, d, ex3, w, ops):
     S = emb.shape[0]
+    assert S % K == 0 and tile % K == 0, (S, tile, K)
     F_emb, dd = emb.shape[1], d.shape[1]
     H = ops[-2].shape[0]            # alpha weight [H,1]
     Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
-    embp, dp, ex3p = (_pad_rows(x, tile) for x in (emb, d, ex3))
+    embp, dp, ex3p, wp = (_pad_rows(x, tile) for x in (emb, d, ex3, w))
     Sp = embp.shape[0]
     grid = (Sp // tile,)
-    row_spec = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)
+    row_spec = lambda c, t=tile: pl.BlockSpec((t, c), lambda i: (i, 0),
+                                              memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     feat, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel, L1, L3),
+        functools.partial(_fwd_kernel, L1, L3, K, act_super),
         grid=grid,
-        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(ex3.shape[1])]
+        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(ex3.shape[1]),
+                  row_spec(1)]
         + [full(c) for c in (Se, pe, Sd, pd)] + [full(o) for o in ops],
-        out_specs=(row_spec(H), row_spec(1)),
-        out_shape=(jax.ShapeDtypeStruct((Sp, H), jnp.float32),
-                   jax.ShapeDtypeStruct((Sp, 1), jnp.float32)),
+        out_specs=(row_spec(H, tile // K), row_spec(1, tile // K)),
+        out_shape=(jax.ShapeDtypeStruct((Sp // K, H), jnp.float32),
+                   jax.ShapeDtypeStruct((Sp // K, 1), jnp.float32)),
         interpret=interpret,
-    )(embp, dp, ex3p, Se, pe, Sd, pd, *ops)
-    return feat[:S], alpha[:S]
+    )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops)
+    return feat[:S // K], alpha[:S // K]
 
 
-def _fused_fwd_rule(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops):
-    out = _fused_fwd_impl(L1, L3, nf, nd, tile, interpret, emb, d, ex3, ops)
-    return out, (emb, d, ex3, tuple(ops))
+def _fused_fwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret,
+                    emb, d, ex3, w, ops):
+    out = _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
+                          emb, d, ex3, w, ops)
+    return out, (emb, d, ex3, w, tuple(ops))
 
 
-def _fused_bwd_rule(L1, L3, nf, nd, tile, interpret, res, cts):
-    emb, d, ex3, ops = res
-    dfeat, dalpha = cts
+def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, res, cts):
+    emb, d, ex3, w, ops = res
+    dfeat, dalpha = cts                           # [S/K,H], [S/K,1]
     S = emb.shape[0]
     F_emb, dd, E3 = emb.shape[1], d.shape[1], ex3.shape[1]
     H = ops[-2].shape[0]
     Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
-    embp, dp, ex3p, dfp, dap = (
-        _pad_rows(x, tile) for x in (emb, d, ex3, dfeat, dalpha))
+    embp, dp, ex3p, wp = (_pad_rows(x, tile) for x in (emb, d, ex3, w))
+    dfp, dap = (_pad_rows(x, tile // K) for x in (dfeat, dalpha))
     Sp = embp.shape[0]
     grid = (Sp // tile,)
-    row_spec = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)
+    row_spec = lambda c, t=tile: pl.BlockSpec((t, c), lambda i: (i, 0),
+                                              memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L1, L3),
+        functools.partial(_bwd_kernel, L1, L3, K, act_super),
         grid=grid,
-        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(E3)]
+        in_specs=[row_spec(F_emb), row_spec(dd), row_spec(E3), row_spec(1)]
         + [full(c) for c in (Se, pe, Sd, pd)]
-        + [full(o) for o in ops] + [row_spec(H), row_spec(1)],
-        out_specs=tuple([row_spec(F_emb), row_spec(dd), row_spec(E3)]
-                        + [full(o) for o in ops]),
+        + [full(o) for o in ops]
+        + [row_spec(H, tile // K), row_spec(1, tile // K)],
+        out_specs=tuple([row_spec(F_emb), row_spec(dd), row_spec(E3),
+                         row_spec(1)] + [full(o) for o in ops]),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((Sp, F_emb), jnp.float32),
              jax.ShapeDtypeStruct((Sp, dd), jnp.float32),
-             jax.ShapeDtypeStruct((Sp, E3), jnp.float32)]
+             jax.ShapeDtypeStruct((Sp, E3), jnp.float32),
+             jax.ShapeDtypeStruct((Sp, 1), jnp.float32)]
             + [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in ops]),
         interpret=interpret,
-    )(embp, dp, ex3p, Se, pe, Sd, pd, *ops, dfp, dap)
-    demb, ddists, dex3 = outs[0][:S], outs[1][:S], outs[2][:S]
-    dops = list(outs[3:])
-    return demb, ddists, dex3, dops
+    )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops, dfp, dap)
+    demb, ddists, dex3, dw = (outs[0][:S], outs[1][:S], outs[2][:S],
+                              outs[3][:S])
+    dops = list(outs[4:])
+    return demb, ddists, dex3, dw, dops
 
 
 fused_trunk.defvjp(_fused_fwd_rule, _fused_bwd_rule)
