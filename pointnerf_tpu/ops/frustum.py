@@ -20,8 +20,13 @@ Deltas by design:
   builder) — the reference caps occupied z-voxels per pixel column.
 * K nearest by perspective distance replaces the reference's shell-order
   buffer; candidates obey the same xy/z caps.
-* inverse (1/z) depth bucketing is not implemented — no shipped dev_script
-  sets --inverse 1 (verified over /root/reference/dev_scripts).
+* inverse (1/z) depth bucketing (`--inverse 1`) buckets the z axis in
+  DISPARITY (GridSpec.inv_z): near-camera depth gets proportionally more
+  voxels, like the reference's `coor_z = (1/z - 1/far)/vsize` mapping
+  (query_point_indices.py get_hyperparameters + kernels). Payload coords
+  and neighbor distances stay true-z. shpnt_jitter magnitudes derive from
+  the disparity-unit vsize[2] in this mode (train-time only; no shipped
+  dev_script trains with --inverse 1).
 """
 
 from __future__ import annotations
@@ -47,14 +52,13 @@ def make_frustum_spec(opt, intrinsic: np.ndarray, w: int, h: int,
     Perspective ranges from the principal point / focal lengths; vdim is the
     image resolution x z_depth_dim, downscaled by opt.vscale.
     """
-    if opt.inverse > 0:
-        raise NotImplementedError(
-            "frustum query with --inverse 1 (1/z bucketing): no shipped "
-            "reference dev_script uses it")
     K = np.asarray(intrinsic, np.float64)
     x_rl, x_rh = -K[0, 2] / K[0, 0], (w - K[0, 2]) / K[0, 0]
     y_rl, y_rh = -K[1, 2] / K[1, 1], (h - K[1, 2]) / K[1, 1]
-    ranges = np.array([x_rl, y_rl, near, x_rh, y_rh, far], np.float64)
+    inv = opt.inverse > 0
+    # inverse mode: z buckets in disparity — ranges [1/far, 1/near] ascending
+    z_lo, z_hi = (1.0 / far, 1.0 / near) if inv else (near, far)
+    ranges = np.array([x_rl, y_rl, z_lo, x_rh, y_rh, z_hi], np.float64)
     vdim = np.array([w, h, opt.z_depth_dim], np.int64)
     vsize = (ranges[3:] - ranges[:3]) / vdim
     vscale = np.asarray(opt.vscale, np.float64)
@@ -71,10 +75,13 @@ def make_frustum_spec(opt, intrinsic: np.ndarray, w: int, h: int,
         query_size=tuple(int(q) for q in opt.effective_query_size),
         radius_limit=float(opt.radius_limit_scale * max(vsize[0], vsize[1])),
         vsize=tuple(float(v) for v in vsize),
-        query_max_voxels=int(getattr(opt, "query_max_voxels", 0)),
+        # center-distance voxel culling compares disparity-space centers to
+        # true-z samples — meaningless under inv_z, so forced off there
+        query_max_voxels=0 if inv else int(getattr(opt, "query_max_voxels", 0)),
         superset_P=0,  # per-frame grid: superset precompute doesn't amortize
         depth_limit=float(opt.depth_limit_scale * vsize[2]),
         pers_metric=True,
+        inv_z=inv,
     )
 
 
@@ -150,10 +157,18 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     xp = dir_cam[..., 0] / safe_z
     yp = dir_cam[..., 1] / safe_z
 
-    # candidate shading positions = the D scaled z-voxel centers of the column
+    # candidate shading positions = the D scaled z-voxel centers of the
+    # column. inv_z: centers are uniform in DISPARITY; walk them in
+    # descending-disparity order so true z ascends along the ray (the ray
+    # march and the first-SR selection expect near-to-far ordering).
     mn = jnp.asarray(spec.ranges_min, jnp.float32)
     svs = jnp.asarray(spec.scaled_vsize, jnp.float32)
-    zc = mn[2] + (jnp.arange(D, dtype=jnp.float32) + 0.5) * svs[2]   # [D]
+    if spec.inv_z:
+        disp = mn[2] + (jnp.arange(D - 1, -1, -1, dtype=jnp.float32)
+                        + 0.5) * svs[2]
+        zc = 1.0 / disp                                              # [D]
+    else:
+        zc = mn[2] + (jnp.arange(D, dtype=jnp.float32) + 0.5) * svs[2]
     raypos = jnp.stack([
         jnp.broadcast_to(xp[..., None], (B, R, D)),
         jnp.broadcast_to(yp[..., None], (B, R, D)),

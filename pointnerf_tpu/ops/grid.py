@@ -48,6 +48,11 @@ class GridSpec:
     depth_limit: float = 0.0                 # z-axis neighbor cap (frustum query); 0 = off
     pers_metric: bool = False                # True: radius_limit on xy + depth_limit on z
                                              # (perspective-frustum metric); False: spherical
+    inv_z: bool = False                      # bucket the z axis in DISPARITY (1/z): the
+                                             # frustum --inverse 1 mode (reference
+                                             # query_point_indices.py get_hyperparameters);
+                                             # ranges_min[2]/vsize[2] are then in 1/z units
+                                             # while payload coords/distances stay true-z
 
     @property
     def grid_size_vol(self) -> int:
@@ -94,7 +99,15 @@ def make_grid_spec(opt, points_min=None, points_max=None, max_points: int = 0) -
 
 
 def voxel_coords(xyz: jnp.ndarray, spec: GridSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """World position → integer scaled-voxel coords + in-bounds mask."""
+    """World position → integer scaled-voxel coords + in-bounds mask.
+
+    spec.inv_z: the z axis buckets by DISPARITY (1/z) — positions keep true
+    z everywhere else (payload rows, distances); only the voxel index
+    transform differs (reference --inverse 1, query_point_indices.py).
+    """
+    if spec.inv_z:
+        zt = 1.0 / jnp.maximum(xyz[..., 2:3], 1e-9)
+        xyz = jnp.concatenate([xyz[..., :2], zt], axis=-1)
     mn = jnp.asarray(spec.ranges_min, dtype=xyz.dtype)
     vs = jnp.asarray(spec.scaled_vsize, dtype=xyz.dtype)
     coords = jnp.floor((xyz - mn) / vs).astype(jnp.int32)

@@ -295,3 +295,96 @@ def test_frustum_prebuilt_grid_fast_path_exact():
                                   np.asarray(out_rebuild["coarse_raycolor"]))
     np.testing.assert_array_equal(np.asarray(out_fast["ray_mask"]),
                                   np.asarray(out_rebuild["ray_mask"]))
+
+
+def test_frustum_inverse_depth_bucketing():
+    """--inverse 1: z buckets in disparity (reference query_point_indices
+    get_hyperparameters / coor_z = (1/z - 1/far)/vsize); shading centers are
+    uniform in 1/z, walk near-to-far, and the KNN matches a numpy oracle
+    over the disparity-bucketed kernel window with TRUE-z distances."""
+    opt = frustum_opt(inverse=1, K=4)
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    assert spec.inv_z
+    assert spec.ranges_min[2] == pytest.approx(1.0 / FAR)
+    assert spec.vsize[2] == pytest.approx((1 / NEAR - 1 / FAR) / 8)
+
+    xyz, camrot, campos = make_scene(n=180, seed=3)
+    n = len(xyz)
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(n, bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+    assert int(grid["num_occ"]) > 0
+
+    rng = np.random.RandomState(4)
+    pixels = rng.randint(0, W, (16, 2)).astype(np.float64)
+    raydir = pixel_rays(pixels)
+    pidx, loc_w, sdirs, ray_mask = query_frustum_points(
+        jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+        xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
+    pidx, loc_w = np.asarray(pidx), np.asarray(loc_w)
+
+    pers = np.asarray(xyz_pers)
+    mn = np.asarray(spec.ranges_min)
+    vs = np.asarray(spec.scaled_vsize)
+    vdim = np.asarray(spec.vdim)
+
+    def bucket(p):  # disparity z-bucketing
+        t = np.array([p[0], p[1], 1.0 / p[2]])
+        return np.floor((t - mn) / vs).astype(np.int64)
+
+    vox = np.stack([bucket(p) for p in pers])
+    occ = np.zeros(vdim, bool)
+    for v in vox:
+        if np.all(v >= 0) and np.all(v < vdim):
+            occ[tuple(v)] = True
+    dil = np.zeros_like(occ)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                src = occ[max(0, -dx):vdim[0] - max(0, dx),
+                          max(0, -dy):vdim[1] - max(0, dy),
+                          max(0, -dz):vdim[2] - max(0, dz)]
+                dil[max(0, dx):vdim[0] - max(0, -dx),
+                    max(0, dy):vdim[1] - max(0, -dy),
+                    max(0, dz):vdim[2] - max(0, -dz)] |= src
+
+    hits = 0
+    for r in range(16):
+        xp = (pixels[r, 0] + 0.5 - W / 2.0) / FX
+        yp = (pixels[r, 1] + 0.5 - H / 2.0) / FY
+        cx, cy = int((xp - mn[0]) / vs[0]), int((yp - mn[1]) / vs[1])
+        # centers walk DESCENDING disparity (ascending true z)
+        zds = [d for d in range(vdim[2] - 1, -1, -1) if dil[cx, cy, d]]
+        zs_true = [1.0 / (mn[2] + (zd + 0.5) * vs[2]) for zd in zds][: opt.SR]
+        # returned shading z ascends and matches the disparity centers
+        got_z = [loc_w[0, r, s, 2] for s in range(len(zs_true))]
+        np.testing.assert_allclose(got_z, zs_true, rtol=1e-5)
+        assert got_z == sorted(got_z)
+        for s, zt in enumerate(zs_true):
+            center = np.array([xp, yp, zt])
+            cands = []
+            cvox = bucket(center)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        v = cvox + np.array([dx, dy, dz])
+                        if np.any(v < 0) or np.any(v >= vdim):
+                            continue
+                        cands += [i for i in range(n)
+                                  if np.all(vox[i] == v)]
+            if not cands:
+                continue
+            hits += 1
+            d2 = {i: np.sum((pers[i] - center) ** 2) for i in cands}
+            want = set(sorted(d2, key=d2.get)[: opt.K])
+            got = set(int(i) for i in pidx[0, r, s] if i >= 0)
+            # P=4 bucket truncation can drop candidates; require the kept
+            # neighbors to be a subset of the oracle's candidate set and the
+            # top-1 nearest to be present when its bucket kept it
+            assert got <= set(cands)
+            top1 = min(d2, key=d2.get)
+            kept = set(np.asarray(
+                grid["occ_2_xyz"].reshape(-1, 4)[:, 3]).astype(int))
+            if top1 in kept:
+                assert top1 in got or len(got) == opt.K
+    assert hits > 5
