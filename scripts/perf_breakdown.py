@@ -128,16 +128,44 @@ def main():
                                                  spec)
         return items["loss_total"][-1]
 
+    @jax.jit
+    def adam_only_scan():
+        # the optimizer update in ISOLATION: fixed synthetic grads, scan of
+        # tx.update + apply_updates over the real TrainState. Separates true
+        # Adam cost from the "step - grads" bucket (which also pays for
+        # whatever fusion XLA moves across the grads/update boundary).
+        net_tx, pts_tx = trainer.make_optimizers(opt)
+        g_net = jax.tree.map(lambda p: jnp.full_like(p, 1e-6), ts.agg_params)
+        g_pts = jax.tree.map(lambda p: jnp.full_like(p, 1e-6), ts.pt_train)
+
+        def body(carry, i):
+            agg, pts, os_net, os_pts = carry
+            gn = jax.tree.map(lambda g: g * (1.0 + 1e-6 * i), g_net)
+            gp = jax.tree.map(lambda g: g * (1.0 + 1e-6 * i), g_pts)
+            upd_n, os_net = net_tx.update(gn, os_net, agg)
+            upd_p, os_pts = pts_tx.update(gp, os_pts, pts)
+            import optax
+            return (optax.apply_updates(agg, upd_n),
+                    optax.apply_updates(pts, upd_p), os_net, os_pts), None
+        carry0 = (ts.agg_params, ts.pt_train, ts.opt_state_net,
+                  ts.opt_state_pts)
+        (agg, pts, _, _), _ = jax.lax.scan(body, carry0,
+                                           jnp.arange(S, dtype=jnp.float32))
+        return sum(jnp.sum(l) for l in jax.tree.leaves(pts)) + \
+            sum(jnp.sum(l) for l in jax.tree.leaves(agg))
+
     t_query = timed("query", query_scan, S)
     t_fwd = timed("forward", fwd_scan, S)
     t_grads = timed("grads", grads_scan, S)
     t_step = timed("step", step_scan, S)
+    t_adam = timed("adam-only", adam_only_scan, S)
 
     print(json.dumps({
         "rays": R, "ms_query": round(t_query, 2), "ms_forward": round(t_fwd, 2),
         "ms_shade_fwd": round(t_fwd - t_query, 2),
         "ms_backward": round(t_grads - t_fwd, 2),
         "ms_adam": round(t_step - t_grads, 2),
+        "ms_adam_isolated": round(t_adam, 2),
         "ms_step": round(t_step, 2),
         "rays_per_sec": round(R / t_step * 1000.0, 1),
     }))
