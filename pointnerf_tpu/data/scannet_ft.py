@@ -174,7 +174,7 @@ class ScannetFtDataset(BaseDataset):
 
     def load_init_depth_points(self, vox_res: int = 0) -> np.ndarray:
         """Backproject sensor depth maps to world points (reference: :420-451)."""
-        from ..run.common import construct_vox_points_closest
+        from ..run.common import construct_vox_points_xyz
         inv_K = np.linalg.inv(self.depth_intrinsic)
         pieces = []
         for i in self.all_id_list:
@@ -189,7 +189,9 @@ class ScannetFtDataset(BaseDataset):
             c2w = self._load_pose(i)
             world = cam @ c2w[:3, :3].T + c2w[:3, 3]
             if vox_res > 0:
-                world, _ = construct_vox_points_closest(world, vox_res)
+                # per-frame centroid downsample (reference
+                # scannet_ft_dataset.py:444 uses construct_vox_points_xyz)
+                world = construct_vox_points_xyz(world, vox_res)
             pieces.append(world.astype(np.float32))
         xyz = np.concatenate(pieces, axis=0) if pieces else \
             np.zeros((0, 3), np.float32)

@@ -109,6 +109,76 @@ def construct_vox_points_closest(xyz: np.ndarray, vox_res: int,
     return xyz[keep].astype(np.float32), keep
 
 
+def _vox_partition(xyz: np.ndarray, vox_res: int,
+                   space_min=None, space_max=None):
+    """Centered cubic voxel partition shared by the `construct_vox_points_*`
+    family (reference mvs_utils.py:484-500: space_edge = 1.05 x the max
+    extent, centered on the cloud midpoint; when space_min/max are given the
+    per-axis edge is reused so two clouds share one partition)."""
+    xyz = np.asarray(xyz, np.float64)
+    if space_min is None:
+        mn, mx = xyz.min(0), xyz.max(0)
+        edge = np.max(mx - mn) * 1.05
+        mid = (mx + mn) / 2
+        space_min, space_max = mid - edge / 2, mid + edge / 2
+    else:
+        space_min = np.asarray(space_min, np.float64)
+        space_max = np.asarray(space_max, np.float64)
+        edge = space_max - space_min
+    coords = np.floor((xyz - space_min) / (edge / vox_res)).astype(np.int32)
+    return coords, space_min, space_max
+
+
+def construct_vox_points_xyz(xyz: np.ndarray, vox_res: int,
+                             space_min=None, space_max=None) -> np.ndarray:
+    """Voxel downsample to per-voxel centroids (reference
+    mvs_utils.construct_vox_points_xyz, mvs_utils.py:503-518; used by the
+    ScanNet per-frame depth backprojection, scannet_ft_dataset.py:444)."""
+    xyz = np.asarray(xyz, np.float64)
+    coords, _, _ = _vox_partition(xyz, vox_res, space_min, space_max)
+    _, inv = np.unique(coords, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    starts = np.flatnonzero(np.concatenate([[True], inv_s[1:] != inv_s[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(inv_s)]]))
+    sums = np.add.reduceat(xyz[order], starts, axis=0)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def construct_vox_points_ind(xyz: np.ndarray, vox_res: int,
+                             space_min=None, space_max=None):
+    """Voxel ids for cross-cloud occupancy filtering (reference
+    mvs_utils.construct_vox_points_ind, mvs_utils.py:520-535). Returns
+    (unique voxel coords [V,3] int32, per-point index into them [N],
+    space_min, space_max)."""
+    coords, smin, smax = _vox_partition(xyz, vox_res, space_min, space_max)
+    uniq, inv = np.unique(coords, axis=0, return_inverse=True)
+    return uniq, inv.astype(np.int64), smin, smax
+
+
+def filter_depth_by_pc_occupancy(pc_xyz: np.ndarray, depth_xyz: np.ndarray,
+                                 filter_res: int = 100) -> np.ndarray:
+    """Keep only depth-backprojected points whose voxel holds NO provided-
+    cloud point — the load_points==3 mesh+sensor-depth merge (reference
+    run/train_ft.py:656-672: construct_vox_points_ind over both clouds in a
+    shared partition, a dense 0/1 mask over the union bounding box)."""
+    pc_gid, _, smin, smax = construct_vox_points_ind(pc_xyz, filter_res)
+    d_gid, d_inv, _, _ = construct_vox_points_ind(
+        depth_xyz, filter_res, space_min=smin, space_max=smax)
+    all_g = np.concatenate([pc_gid, d_gid], 0).astype(np.int64)
+    mn = all_g.min(0)
+    dims = all_g.max(0) - mn + 1
+
+    def lin(g):
+        g = g.astype(np.int64) - mn
+        return (g[:, 0] * dims[1] + g[:, 1]) * dims[2] + g[:, 2]
+
+    occupied = np.zeros(int(dims.prod()), bool)
+    occupied[lin(pc_gid)] = True
+    keep = ~occupied[lin(d_gid)[d_inv]]
+    return np.asarray(depth_xyz)[keep]
+
+
 def load_pretrained_mvsnet(path: str) -> Dict:
     """Load the official-MVSNet depth-estimator checkpoint the reference
     finetune scripts depend on (--pre_d_est MVSNet/model_000014.ckpt,
@@ -177,11 +247,21 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     # loader choice mirrors reference load_points ∈ {1: provided cloud,
     # 2: sensor-depth backprojection, 3: both} (train_ft.py:649-673)
     rgb = None
+    sources = None
     if opt.load_points == 2 and hasattr(dataset, "load_init_depth_points"):
-        xyz = np.asarray(dataset.load_init_depth_points())
+        # per-frame voxel res 100 matches the reference driver call
+        # (train_ft.py:652)
+        xyz = np.asarray(dataset.load_init_depth_points(vox_res=100))
     elif opt.load_points == 3 and hasattr(dataset, "load_init_depth_points"):
-        xyz = np.concatenate([np.asarray(dataset.load_init_points()),
-                              np.asarray(dataset.load_init_depth_points())], 0)
+        # provided cloud + sensor-depth points; depth kept only in voxels the
+        # provided cloud leaves empty (reference train_ft.py:649-672: depth at
+        # per-frame vox_res=80, occupancy filter at filter_res=100), and the
+        # two sources stay separate for the decaying vox_res downsample below
+        pts = np.asarray(dataset.load_init_points())
+        depth = np.asarray(dataset.load_init_depth_points(vox_res=80))
+        depth = filter_depth_by_pc_occupancy(pts, depth, filter_res=100)
+        sources = [pts.astype(np.float32), depth.astype(np.float32)]
+        xyz = np.concatenate(sources, 0)
     else:
         xyz = np.asarray(dataset.load_init_points())
         import os
@@ -202,12 +282,24 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
 
     ranges = np.asarray(opt.ranges, np.float32)
     if ranges[0] > -99.0:
-        keep = np.all((xyz >= ranges[:3]) & (xyz <= ranges[3:]), axis=-1)
-        xyz = xyz[keep]
-        rgb = rgb[keep] if rgb is not None else None
+        crop = lambda p: p[np.all((p >= ranges[:3]) & (p <= ranges[3:]), -1)]
+        if sources is not None:
+            sources = [crop(p) for p in sources]
+            xyz = np.concatenate(sources, 0)
+        else:
+            keep = np.all((xyz >= ranges[:3]) & (xyz <= ranges[3:]), axis=-1)
+            xyz = xyz[keep]
+            rgb = rgb[keep] if rgb is not None else None
     if opt.vox_res > 0:
-        xyz, idx = construct_vox_points_closest(xyz, opt.vox_res)
-        rgb = rgb[idx] if rgb is not None else None
+        if sources is not None:
+            # per-source decaying resolution (reference train_ft.py:683-695:
+            # source i downsampled at vox_res / 1.5^i)
+            xyz = np.concatenate(
+                [construct_vox_points_closest(p, max(1, int(opt.vox_res / 1.5 ** i)))[0]
+                 for i, p in enumerate(sources) if len(p)], 0)
+        else:
+            xyz, idx = construct_vox_points_closest(xyz, opt.vox_res)
+            rgb = rgb[idx] if rgb is not None else None
     if opt.resample_pnts > 0:
         # reference train_ft.py:698-704: 1 = keep only the point nearest the
         # origin (single-point debug), N = random subsample to N points
