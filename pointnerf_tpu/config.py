@@ -301,7 +301,9 @@ class Options:
 _SUPPORTED_VALUES = {
     "which_agg_model": ("viewmlp",),       # the only aggregator any dev_script uses
     "apply_pnt_mask": (1,),                # mask always applied (padded buffers)
-    "NN": (2,),                            # world-coord KNN (frustum = wcoord_query 0)
+    "NN": (2, -1),                         # 2: world-coord KNN (frustum =
+                                           # wcoord_query 0); -1: 8-corner
+                                           # vox-grid query (ops/voxgrid.py)
     "normview": (0,),
     "alpha_range": (0,),
     "modulator_concat": (0,),
@@ -309,10 +311,6 @@ _SUPPORTED_VALUES = {
     "fine_sample_num": (0,),               # refine generators take counts directly
     "mvs_point_sampler": ("gau_single_sampler",),
     "no_loss": (0,),
-    "point_noise": ("",),
-    "construct_res": (0,),
-    "grid_res": (0,),
-    "cloud_path": ("",),                   # clouds load via the dataset layer
     "shading_color_channel_num": (3,),
     "train_and_test": (0, 1),              # drivers always test at the end
 }
@@ -337,6 +335,29 @@ def validate_options(opt: "Options") -> "Options":
             raise NotImplementedError(
                 f"--{name} is parsed for reference-script parity but these "
                 f"losses are not implemented (no shipped dev_script sets them)")
+    if opt.NN < 0:
+        # vox-grid query: the cloud must be a construct_grid_points lattice
+        # with frozen positions (ops/voxgrid.py derive_lattice)
+        if opt.construct_res <= 0 or opt.grid_res < opt.construct_res:
+            raise ValueError(
+                "--NN -1 (vox-grid query) requires 0 < construct_res <= "
+                f"grid_res, got construct_res={opt.construct_res} "
+                f"grid_res={opt.grid_res}")
+        if opt.xyz_grad:
+            raise ValueError(
+                "--NN -1 requires --xyz_grad 0: trainable positions drift "
+                "off the lattice the corner table indexes (the reference "
+                "never rebuilds full_grid_idx either, neural_points.py:261)")
+        if opt.wcoord_query == 0:
+            raise ValueError("--NN -1 is a world-coord mode; it cannot be "
+                             "combined with the frustum querier "
+                             "(--wcoord_query 0)")
+    if opt.point_noise:
+        fn = opt.point_noise.split("_")[0]
+        if fn not in ("pointgaussian", "pointuniform", "pointuniformadd",
+                      "pointuniformdouble"):
+            raise ValueError(f"--point_noise {opt.point_noise!r}: unknown "
+                             "jitter function (data/load_blender.py)")
     return opt
 
 

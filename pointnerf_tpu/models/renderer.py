@@ -100,6 +100,18 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
     # same compacted row budget the shade phase uses (prob mode needs every
     # row's stats, so it stays uncompacted like the shade side).
     B, R = raydir.shape[0], raydir.shape[1]
+    if opt.NN < 0:
+        # vox-grid mode (reference neural_points.py:571-573): the occupancy
+        # walk still picks shading locations, but the K=8 "neighbors" are the
+        # sample's surrounding lattice-cell corners — no KNN, no compaction
+        # (K=1 below just minimizes the discarded KNN work)
+        from ..ops.voxgrid import query_vox_grid
+        _, sample_loc_w, ray_mask, q_overflow, _ = query_grid_points(
+            raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
+            SR=opt.SR, K=1, Nc=0)
+        sample_pidx = query_vox_grid(sample_loc_w, grid["vox_table"], spec)
+        return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
+                        ray_mask, None, q_overflow, None)
     Nc = effective_sr_budget(opt, B * R * opt.SR) if not prob else 0
     sample_pidx, sample_loc_w, ray_mask, q_overflow, comp = query_grid_points(
         raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
@@ -233,7 +245,7 @@ def render_shade(agg_params: Dict,
             g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
             g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
             g["sample_pnt_mask"], sample_loc, sample_loc_w, sample_ray_dirs,
-            spec.vsize, compute_dtype=compute_dtype)
+            spec.vsize, grid_vox_sz=spec.vox_gvs, compute_dtype=compute_dtype)
 
     # 5. ray distances from camera-depth cummax (reference: volumetric model :271-279)
     vz = jnp.float32(spec.vsize[2])

@@ -53,6 +53,9 @@ class GridSpec:
                                              # query_point_indices.py get_hyperparameters);
                                              # ranges_min[2]/vsize[2] are then in 1/z units
                                              # while payload coords/distances stay true-z
+    vox_dim: Tuple[int, int, int] = (0, 0, 0)  # NN<0 corner-table dims (0 = off):
+    vox_space_min: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # lattice origin
+    vox_gvs: float = 0.0                     # lattice pitch (reference grid_vox_sz)
 
     @property
     def grid_size_vol(self) -> int:
@@ -214,6 +217,11 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
         "coor_occ_rows": coor_occ_rows,
         "num_occ": num_occ,
     }
+
+    if spec.vox_dim[0] > 0:
+        # NN<0: dense corner->point table for the 8-corner grid query
+        from .voxgrid import build_vox_table
+        out["vox_table"] = build_vox_table(xyz, point_mask, spec)
 
     # ---------------------------------------------------------- supersets
     # Per occupied voxel: the superset_P nearest-to-center candidates from its

@@ -248,6 +248,20 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
     # 2: sensor-depth backprojection, 3: both} (train_ft.py:649-673)
     rgb = None
     sources = None
+    if opt.cloud_path:
+        # pickled surface cloud (reference neural_points.py:240-262:
+        # load_blender_cloud -> point_noise -> construct_grid_points; this
+        # path bypasses the driver's ranges/vox_res/resample processing)
+        from ..data.load_blender import load_blender_cloud, apply_point_noise
+        rng_cloud = np.random.RandomState(opt.seed)
+        xyz, _ = load_blender_cloud(opt.cloud_path, opt.num_point, rng_cloud)
+        xyz = apply_point_noise(xyz, opt.point_noise, rng_cloud)
+        if opt.construct_res > 0:
+            from ..ops.voxgrid import construct_grid_points
+            xyz, _ = construct_grid_points(
+                xyz, opt.construct_res, opt.grid_res)
+        return _finish_point_state(opt, dataset, key, xyz.astype(np.float32),
+                                   None)
     if opt.load_points == 2 and hasattr(dataset, "load_init_depth_points"):
         # per-frame voxel res 100 matches the reference driver call
         # (train_ft.py:652)
@@ -310,6 +324,13 @@ def init_point_state_from_dataset(opt, dataset, key) -> Dict:
                 len(xyz))[: opt.resample_pnts]
         xyz = xyz[idx]
         rgb = rgb[idx] if rgb is not None else None
+    return _finish_point_state(opt, dataset, key, xyz, rgb)
+
+
+def _finish_point_state(opt, dataset, key, xyz: np.ndarray,
+                        rgb: Optional[np.ndarray]) -> Dict:
+    """Per-point attribute init shared by every load path (reference
+    train_ft.py:706-732): nearest-view directions + feature init."""
     n = xyz.shape[0]
 
     # nearest-view directions (reference: train_ft.py:706-710 nearest_view)
@@ -344,6 +365,16 @@ def make_spec_and_grid(opt, state):
     xyz = np.asarray(state["xyz"])[mask]
     spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
                           max_points=int(mask.sum()))
+    if opt.NN < 0:
+        # 8-corner vox-grid query (reference neural_points.py:571): the cloud
+        # is a construct_grid_points lattice, whose origin/pitch/extent are
+        # recovered from the snapped points themselves — rebuilds stay pure
+        # functions of point state across checkpoint/resume
+        from ..ops.voxgrid import derive_lattice
+        mn, pitch, dims = derive_lattice(xyz)
+        spec = dataclasses.replace(
+            spec, vox_dim=tuple(int(d) for d in dims),
+            vox_space_min=tuple(float(v) for v in mn), vox_gvs=pitch)
     grid = build_grid(state["xyz"], state["mask"], spec)
     return spec, grid
 
