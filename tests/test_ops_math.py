@@ -211,3 +211,30 @@ def test_refine_ray_generation():
     _, _, _, mid2 = gen(campos, raydir, 64, ts, w, jitter=1.0,
                         key=jax.random.PRNGKey(0))
     assert not bool(jnp.all(mid2 == mid))
+
+
+def test_sh_runtime_matches_table_and_extends():
+    """sh_basis_runtime (reference SphericalHarm, spherical.py:9-151) agrees
+    with the hardcoded deg<=5 table and stays orthonormal beyond it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pointnerf_tpu.ops.sh import sh_basis, sh_basis_runtime, SphericalHarm
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(1500, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dj = jnp.asarray(d.astype(np.float32))
+    for deg in range(1, 6):
+        a = np.asarray(sh_basis(dj, deg))
+        b = np.asarray(sh_basis_runtime(dj, deg))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    # deg 7 (table would raise in the reference too): Monte-Carlo Gram matrix
+    # of the basis over the sphere approximates identity
+    rng = np.random.RandomState(1)
+    d2 = rng.randn(120000, 3)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    Y = np.asarray(SphericalHarm(7).sh_all(jnp.asarray(d2.astype(np.float32))))
+    assert Y.shape == (len(d2), 49)
+    G = 4 * np.pi * (Y.T @ Y) / len(Y)
+    assert np.abs(G - np.eye(49)).max() < 0.03
