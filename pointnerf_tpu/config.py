@@ -78,6 +78,10 @@ class Options:
     query_size: Tuple[int, ...] = _t(0, 0, 0)
     vsize: Tuple[float, ...] = _t(0.004, 0.004, 0.004)
     wcoord_query: int = -1
+    frustum_superset_P: int = 0            # >0: per-voxel candidate supersets on the
+                                           # frustum SERVING path (grid prebuilt once
+                                           # per camera by render_image); 0 = exact
+                                           # 27-tile scan (training / per-chunk builds)
     ranges: Tuple[float, ...] = _t(-100.0, -100.0, -100.0, 100.0, 100.0, 100.0)
     xyz_grad: int = 0
     feat_grad: int = 1
@@ -312,6 +316,10 @@ _SUPPORTED_VALUES = {
     "mvs_point_sampler": ("gau_single_sampler",),
     "no_loss": (0,),
     "shading_color_channel_num": (3,),
+    # schedules implemented in models/networks.py::make_lr_schedule; the
+    # reference's 4th option (ReduceLROnPlateau) is unused by every shipped
+    # dev_script (they all set iter_exponential_decay)
+    "lr_policy": ("iter_exponential_decay", "lambda", "step"),
     "train_and_test": (0, 1),              # drivers always test at the end
 }
 # loss families no shipped dev_script enables; parsed for script parity only
