@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from .camera import w2pers, pers2w
 from .grid import GridSpec, build_grid
-from .query import mask_raypos, select_shading_points, knn_neighbors
+from .query import (mask_raypos, select_shading_points, knn_neighbors,
+                    knn_neighbors_superset)
 
 SENTINEL = 1.0e6
 
@@ -78,7 +79,18 @@ def make_frustum_spec(opt, intrinsic: np.ndarray, w: int, h: int,
         # center-distance voxel culling compares disparity-space centers to
         # true-z samples — meaningless under inv_z, so forced off there
         query_max_voxels=0 if inv else int(getattr(opt, "query_max_voxels", 0)),
-        superset_P=0,  # per-frame grid: superset precompute doesn't amortize
+        # superset rows amortize on the SERVING path, where render_image
+        # prebuilds the grid once per camera and reuses it across all ray
+        # chunks (~140 at 640x512/48²); per-chunk rebuilds (training) leave
+        # this off — the one-time superset build wouldn't amortize. Off under
+        # inv_z for the same center-space reason as query_max_voxels.
+        superset_P=0 if inv else int(getattr(opt, "frustum_superset_P", 0)),
+        # most frustum shading samples sit in empty-but-dilated voxels (rays
+        # march in z through the dilation shell around surfaces) and ADOPT a
+        # neighbor's window; padding the superset source window by the z
+        # adoption radius keeps their candidate sets complete (measured:
+        # recall 0.82 -> see BASELINE.md frustum superset section)
+        superset_pad=(0, 0, opt.effective_query_size[2] // 2),
         depth_limit=float(opt.depth_limit_scale * vsize[2]),
         pers_metric=True,
         inv_z=inv,
@@ -180,8 +192,12 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     # KNN runs on the UNJITTERED locations; the jitter perturbs only the
     # returned shading positions — reference ordering (query_grid_point_index
     # then shpnt_jitter, query_point_indices.py:92-99).
-    sample_pidx = knn_neighbors(sample_loc, sample_mask, xyz_pers, grid,
-                                spec, K)
+    if spec.superset_P > 0:
+        sample_pidx = knn_neighbors_superset(sample_loc, sample_mask, grid,
+                                             spec, K)
+    else:
+        sample_pidx = knn_neighbors(sample_loc, sample_mask, xyz_pers, grid,
+                                    spec, K)
     if is_train:
         sample_loc = _jitter_z(sample_loc, jitter, spec.vsize[2], key)
     ray_mask = jnp.any(

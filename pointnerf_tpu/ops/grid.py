@@ -56,6 +56,13 @@ class GridSpec:
     vox_dim: Tuple[int, int, int] = (0, 0, 0)  # NN<0 corner-table dims (0 = off):
     vox_space_min: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # lattice origin
     vox_gvs: float = 0.0                     # lattice pitch (reference grid_vox_sz)
+    superset_pad: Tuple[int, int, int] = (0, 0, 0)  # extra voxels per side of the
+                                             # superset SOURCE window beyond
+                                             # kernel_size, so candidate sets
+                                             # stay complete for samples whose
+                                             # empty-but-dilated voxel ADOPTS
+                                             # this one (shift <= query//2);
+                                             # ranking cube expands to match
 
     @property
     def grid_size_vol(self) -> int:
@@ -240,10 +247,10 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
 
         kx = spec.kernel_size[0]
         lx = (kx + 1) // 2 - 1
-        offs = np.stack(np.meshgrid(
-            np.arange(-lx, lx + 1), np.arange(-lx, lx + 1),
-            np.arange(-lx, lx + 1), indexing="ij"),
-            axis=-1).reshape(-1, 3).astype(np.int32)
+        pads = spec.superset_pad
+        ax = [np.arange(-lx - p, lx + p + 1) for p in pads]
+        offs = np.stack(np.meshgrid(ax[0], ax[1], ax[2], indexing="ij"),
+                        axis=-1).reshape(-1, 3).astype(np.int32)
         O = offs.shape[0]
         vdim_j = jnp.asarray(spec.vdim, jnp.int32)
         mn_j = jnp.asarray(spec.ranges_min, jnp.float32)
@@ -265,16 +272,23 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
             # corner samples (measured 0.83 recall at P2=32 on dense
             # clusters; cube ranking recovers the corner cases)
             diff = jnp.abs(rows[..., :3] - center[:, None, None, :])
-            d2_cube = jnp.sum(jnp.square(jnp.maximum(
-                diff - 0.5 * vs_j, 0.0)), axis=-1)
+            # cube half-extent grows by the superset_pad so candidates rank
+            # fairly for ANY sample that can adopt this voxel's window
+            half = (0.5 + jnp.asarray(pads, jnp.float32)) * vs_j
+            d2_cube = jnp.sum(jnp.square(jnp.maximum(diff - half, 0.0)),
+                              axis=-1)
             d2_cent = jnp.sum(jnp.square(diff), axis=-1)
             d2 = d2_cube + 1e-3 * d2_cent
             bad = (nb_slot[..., None] < 0) | (d2_cent > 1.0e15)
             d2 = jnp.where(bad, 3.0e38, d2).reshape(-1, O * spec.P)
             rows = rows.reshape(-1, O * spec.P, 4)
-            neg, arg = jax.lax.top_k(-d2, P2)
+            k = min(P2, O * spec.P)   # P2 > pool: take all, pad below
+            neg, arg = jax.lax.top_k(-d2, k)
             sel = jnp.take_along_axis(rows, arg[..., None], axis=1)
             sel = jnp.where((-neg < 1.0e15)[..., None], sel, 1.0e8)
+            if k < P2:
+                sel = jnp.concatenate(
+                    [sel, jnp.full((sel.shape[0], P2 - k, 4), 1.0e8)], axis=1)
             # SoA row layout [x·P2 | y·P2 | z·P2 | idx·P2]: the query reads
             # these rows with lane width 4·P2 (=128 at the default P2=32 —
             # exactly one TPU tile). The AoS [..., P2, 4] layout tiles with
@@ -283,8 +297,13 @@ def build_grid(xyz: jnp.ndarray, point_mask: jnp.ndarray, spec: GridSpec):
             return jnp.concatenate([sel[..., 0], sel[..., 1], sel[..., 2],
                                     sel[..., 3]], axis=-1)       # [BS, 4*P2]
 
-        n_blocks = 8
-        blk = -(-spec.max_o // n_blocks)
+        # block size caps the [blk, O·P, 4] candidate intermediate, whose
+        # (8,128) tiling pads the 4-channel minor dim 32x — at the frustum
+        # preset's max_o=1e6 an 8-block split asked 34.8 GB of HBM. 4096
+        # slots/block keeps the padded intermediate under ~1.2 GB at any
+        # max_o; small grids keep the old 8-way split.
+        blk = min(-(-spec.max_o // 8), 4096)
+        n_blocks = -(-spec.max_o // blk)
         slots_padded = jnp.arange(n_blocks * blk, dtype=jnp.int32) % spec.max_o
         super_xyz = jax.lax.map(build_block,
                                 slots_padded.reshape(n_blocks, blk))

@@ -111,14 +111,31 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
         [jnp.repeat(loc, P2, axis=-1),
          jnp.zeros((S, P2), loc.dtype)], axis=-1)                # [S, 4·P2]
     diff = rows - tiled
-    keep3 = np.zeros((4 * P2, P2), np.float32)
-    for a in range(3):
-        keep3[a * P2: (a + 1) * P2] = np.eye(P2, dtype=np.float32)
-    d2 = jnp.square(diff) @ jnp.asarray(keep3)                   # [S, P2]
-
-    valid = (slot.reshape(S, 1) >= 0) & (d2 < 1.0e15)
-    if spec.radius_limit > 0:
-        valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
+    sq = jnp.square(diff)
+    valid = slot.reshape(S, 1) >= 0
+    if spec.pers_metric:
+        # frustum metric (reference query_point_indices.py:476): radius cap
+        # on perspective xy + separate depth cap on z; same two group-sum
+        # matmuls, split xy / z
+        keep_xy = np.zeros((4 * P2, P2), np.float32)
+        for a in range(2):
+            keep_xy[a * P2: (a + 1) * P2] = np.eye(P2, dtype=np.float32)
+        dxy2 = sq @ jnp.asarray(keep_xy)                         # [S, P2]
+        dz2 = sq[:, 2 * P2: 3 * P2]
+        d2 = dxy2 + dz2
+        valid = valid & (d2 < 1.0e15)
+        if spec.radius_limit > 0:
+            valid = valid & (dxy2 <= spec.radius_limit * spec.radius_limit)
+        if spec.depth_limit > 0:
+            valid = valid & (dz2 <= spec.depth_limit * spec.depth_limit)
+    else:
+        keep3 = np.zeros((4 * P2, P2), np.float32)
+        for a in range(3):
+            keep3[a * P2: (a + 1) * P2] = np.eye(P2, dtype=np.float32)
+        d2 = sq @ jnp.asarray(keep3)                             # [S, P2]
+        valid = valid & (d2 < 1.0e15)
+        if spec.radius_limit > 0:
+            valid = valid & (d2 <= spec.radius_limit * spec.radius_limit)
     d2 = jnp.where(valid, d2, BIG)
 
     neg_top, arg = jax.lax.top_k(-d2, K)

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--points", type=int, default=300000)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--full-image", action="store_true")
+    ap.add_argument("--superset_P", type=int, default=0,
+                    help="frustum_superset_P: per-voxel candidate supersets "
+                         "on the serving path (0 = exact 27-tile scan)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,7 @@ def main():
                                            query_frustum_points)
     from pointnerf_tpu.train import trainer
 
-    opt = dtu_inf_preset("scan1")
+    opt = dtu_inf_preset("scan1", frustum_superset_P=args.superset_P)
     W, H = opt.img_wh
     rng = np.random.RandomState(0)
 
@@ -114,6 +117,27 @@ def main():
     query_ms = (time.perf_counter() - t0) / args.iters * 1000.0
     print(json.dumps({"query_ms_per_2304_rays": round(query_ms, 1),
                       "ray_hit_rate": round(hit, 3)}))
+
+    if spec.superset_P > 0:
+        # neighbor recall vs the exact 27-tile scan on the same grid (the
+        # superset grid dict carries the plain tables too)
+        import dataclasses
+        spec_e = dataclasses.replace(spec, superset_P=0)
+        out_e = query_frustum_points(raydir, jnp.asarray(camrot),
+                                     jnp.asarray(campos), xyz_pers, fgrid,
+                                     spec_e, SR=opt.SR, K=opt.K)
+        pid_s = np.asarray(out[0]).reshape(-1, opt.K)
+        pid_e = np.asarray(out_e[0]).reshape(-1, opt.K)
+        inter = tot = 0
+        for a, b in zip(pid_e, pid_s):
+            sa = set(int(v) for v in a if v >= 0)
+            if not sa:
+                continue
+            sb = set(int(v) for v in b if v >= 0)
+            inter += len(sa & sb)
+            tot += len(sa)
+        print(json.dumps({"superset_P": spec.superset_P,
+                          "neighbor_recall_vs_exact": round(inter / max(tot, 1), 4)}))
 
     if not args.full_image:
         return

@@ -388,3 +388,67 @@ def test_frustum_inverse_depth_bucketing():
             if top1 in kept:
                 assert top1 in got or len(got) == opt.K
     assert hits > 5
+
+
+def test_frustum_superset_matches_exact():
+    """frustum_superset_P (serving fast path): with capacity >= every
+    neighborhood's candidate count, the superset query must return the same
+    neighbor sets as the exact 27-tile scan — including the pers-metric
+    depth cap, which the superset KNN applies blockwise."""
+    xyz, camrot, campos = make_scene(n=200, seed=3)
+    rng = np.random.RandomState(5)
+    pixels = rng.randint(0, W, (40, 2)).astype(np.float64)
+    raydir = pixel_rays(pixels)
+
+    outs = {}
+    for p2 in (0, 128):
+        opt = frustum_opt(frustum_superset_P=p2, depth_limit_scale=1.5)
+        spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+        assert spec.superset_P == p2
+        grid, xyz_pers = build_frustum_grid(
+            jnp.asarray(xyz), jnp.ones(len(xyz), bool), jnp.asarray(camrot),
+            jnp.asarray(campos), spec)
+        pidx, loc_w, _, ray_mask = query_frustum_points(
+            jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+            xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
+        outs[p2] = (np.asarray(pidx), np.asarray(loc_w), np.asarray(ray_mask))
+
+    pid_e, loc_e, rm_e = outs[0]
+    pid_s, loc_s, rm_s = outs[128]
+    np.testing.assert_array_equal(rm_e, rm_s)
+    np.testing.assert_allclose(loc_e, loc_s, atol=1e-6)
+    # samples in OCCUPIED voxels must agree exactly — adoption only shifts
+    # the candidate window of empty-but-dilated voxels (same contract as the
+    # world-coord superset, test_grid_query.py superset tests). Occupancy
+    # test in perspective space on the shading locations.
+    spec = make_frustum_spec(frustum_opt(), intrinsic(), W, H, NEAR, FAR)
+    mn = np.asarray(spec.ranges_min)
+    vs = np.asarray(spec.scaled_vsize)
+    vdim = np.asarray(spec.vdim)
+    pers = np.asarray(w2pers(jnp.asarray(xyz[None]), jnp.asarray(camrot),
+                             jnp.asarray(campos)))[0]
+    occ = set()
+    for v in np.floor((pers - mn) / vs).astype(np.int64):
+        if np.all(v >= 0) and np.all(v < vdim):
+            occ.add(tuple(v))
+    loc_pers = np.asarray(w2pers(
+        jnp.asarray(loc_e.reshape(1, -1, 3)), jnp.asarray(camrot),
+        jnp.asarray(campos)))[0]
+    sample_vox = np.floor((loc_pers - mn) / vs).astype(np.int64)
+    n_occ = n_occ_same = 0
+    for v, a, b in zip(sample_vox, pid_e.reshape(-1, pid_e.shape[-1]),
+                       pid_s.reshape(-1, pid_s.shape[-1])):
+        if (a < 0).all() or tuple(v) not in occ:
+            continue
+        n_occ += 1
+        n_occ_same += set(a.tolist()) == set(b.tolist())
+    assert n_occ > 10
+    assert n_occ_same == n_occ, (n_occ_same, n_occ)
+    assert (pid_e >= 0).any()
+
+
+def test_frustum_superset_inverse_mode_stays_exact():
+    """inv_z forces the superset off (disparity-space centers)."""
+    opt = frustum_opt(frustum_superset_P=64, inverse=1)
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    assert spec.superset_P == 0 and spec.inv_z
