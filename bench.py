@@ -14,9 +14,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: without it every bench run pays full remote
+# compiles (~3-5 min); tests/conftest.py sets the same path
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 BASELINE_RAYS_PER_SEC = 40000.0
 
@@ -60,7 +65,10 @@ def make_workload(**overrides):
     state = npc.create_point_cloud(xyz, emb, color, dirs, conf)
     spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
                           max_points=n_points)
-    grid = build_grid(state["xyz"], state["mask"], spec)
+    # jit the build: eagerly it is hundreds of per-op dispatches, each paying
+    # the remote tunnel's ~10 ms host latency (minutes of pure overhead)
+    grid = jax.jit(build_grid, static_argnames=("spec",))(
+        state["xyz"], state["mask"], spec)
     ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
 
     R = opt.random_sample_size ** 2

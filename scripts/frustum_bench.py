@@ -15,6 +15,10 @@ Run:  python scripts/frustum_bench.py [--points 300000] [--full-image]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import sys

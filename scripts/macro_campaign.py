@@ -21,6 +21,10 @@ Run:  python scripts/macro_campaign.py [--steps 20000] [--scenes plate,steps,she
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import os

@@ -8,6 +8,10 @@ Run: python scripts/macro_train.py [--steps 4000] [--wh 96]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import sys

@@ -18,6 +18,10 @@ Run: JAX_PLATFORMS=cpu python scripts/measure_superset.py
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import sys
 
 import numpy as np

@@ -16,6 +16,10 @@ Run:  python scripts/multichip_bench.py [--devices 8] [--rays 3600] [--steps 2]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import os

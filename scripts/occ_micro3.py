@@ -21,7 +21,12 @@ Variant notes:
 
 Run: python scripts/occ_micro3.py [--iters 8] [--U 96]
 """
+
 from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
 
 import argparse
 import functools

@@ -10,6 +10,10 @@ Run:  python scripts/op_profile.py [--iters 8] [--top 30] [--superset_P 32]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import collections
 import glob

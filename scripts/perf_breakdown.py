@@ -14,6 +14,10 @@ Run:  python scripts/perf_breakdown.py [--iters 8] [--rays 3600]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import sys

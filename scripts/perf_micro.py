@@ -5,6 +5,10 @@ python scripts/perf_micro.py [--iters 8]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import sys
 import time

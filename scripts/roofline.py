@@ -17,6 +17,10 @@ Run: python scripts/roofline.py [--rays 3600] [--iters 8]
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+
 import argparse
 import json
 import sys

@@ -9,6 +9,10 @@ formulation would issue) — to size a static per-ray row budget.
 
 Run: JAX_PLATFORMS=cpu python scripts/rowcoherence_stats.py
 """
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
 import sys
 
 import numpy as np
