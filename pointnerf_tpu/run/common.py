@@ -395,13 +395,17 @@ CONST_BATCH_KEYS = ("campos", "camrotc2w", "near", "far", "bg_color")
 
 def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                  keys: Tuple[str, ...] = ("coarse_raycolor", "ray_mask"),
-                 group: int = 8) -> Dict[str, np.ndarray]:
+                 group: int = 8, stack: bool = True) -> Dict[str, np.ndarray]:
     """Chunked full-image render: scatter ray chunks into [H,W,C] host maps
     (reference: run/train_ft.py:283-322 test / :470-494 probe_hole).
 
-    Chunks are rendered `group` at a time in one jitted lax.map dispatch
-    (trainer.eval_chunks): a remote-tunneled chip pays tens of ms of latency
-    per dispatch, and a full image is hundreds of chunks. The tail group
+    Chunks are rendered `group` at a time in one jitted dispatch: a
+    remote-tunneled chip pays tens of ms of latency per dispatch, and a
+    full image is hundreds of chunks. With ``stack`` (the default) the
+    group renders as ONE program over group*chunk rays
+    (trainer.eval_chunks_stacked) — rays are independent, and one wide
+    program tiles the gathers/MLPs far better than `group` serial small
+    lax.map bodies (trainer.eval_chunks, ``stack=False``). The tail group
     compiles its own (smaller) program shape instead of padding — two cached
     programs per image size, no wasted chunk renders.
 
@@ -449,6 +453,16 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     def run_group(pending, opt_used):
         stacked = {k: jnp.asarray(np.stack([p[0][k] for p in pending]))
                    for k in RAY_CHUNK_KEYS if k in pending[0][0]}
+        if stack:
+            # the wide program pools the compaction row space: explicit
+            # budgets (rung 1's 2x value, or a user-set SR_budget) are
+            # per-chunk numbers and scale by the group size; auto (-1)
+            # scales with the row space by construction, 0 is off
+            if int(opt_used.SR_budget) > 0:
+                opt_used = opt_used.replace(
+                    SR_budget=int(opt_used.SR_budget) * len(pending))
+            return trainer.eval_chunks_stacked(ts, grid, stacked, const_batch,
+                                               opt_used, spec, prob=prob)
         return trainer.eval_chunks(ts, grid, stacked, const_batch, opt_used,
                                    spec, prob=prob)
 

@@ -278,6 +278,49 @@ def eval_chunks_impl(state: TrainState, grid: Dict, stacked: Dict,
 eval_chunks = jax.jit(eval_chunks_impl, static_argnames=("opt", "spec", "prob"))
 
 
+_COMPACT_ONLY_KEYS = ("conf_compact", "weight_compact", "compact_valid",
+                      "zero_one_total")
+
+
+def eval_chunks_stacked_impl(state: TrainState, grid: Dict, stacked: Dict,
+                             const_batch: Dict, opt, spec: GridSpec,
+                             prob: bool = False) -> Dict:
+    """Render several ray chunks of one camera as ONE wide eval_step.
+
+    Same contract as eval_chunks_impl ([n, 1, C, ...] in, [n, 1, C, ...]
+    out), but the n chunks concatenate on the ray axis into a single
+    [1, n*C]-ray program instead of n serial lax.map bodies: rays are
+    independent, so one 8x-wider program is semantically the per-chunk
+    render while amortizing the fixed per-op costs (gather setup, small
+    reductions, MLP matmul tiling) that every small body pays again.
+    Compaction pools its budget across the group: auto budgets (-1) scale
+    with the row space by construction (renderer.effective_sr_budget);
+    callers scale explicit ladder budgets by n (run.common.render_image).
+
+    Only per-ray outputs are returned; the training-only compact-loss
+    leaves are [B, Ncb, ...]-shaped and meaningless split per chunk.
+    `sr_overflow` (a group-total scalar) comes back as [n] with the total
+    at slot 0, so callers summing per-chunk overflows stay exact.
+    """
+    n, _, C = next(iter(stacked.values())).shape[:3]
+    wide = {k: v.reshape((1, n * C) + v.shape[3:]) for k, v in stacked.items()}
+    out = eval_step_impl(state, grid, dict(const_batch, **wide), opt, spec,
+                         prob=prob)
+    split: Dict = {}
+    for k, v in out.items():
+        if k in _COMPACT_ONLY_KEYS or v is None or not hasattr(v, "ndim"):
+            continue
+        if v.ndim >= 2 and v.shape[:2] == (1, n * C):
+            split[k] = v.reshape((n, 1, C) + v.shape[2:])
+        elif v.ndim == 0:
+            split[k] = jnp.zeros((n,), v.dtype).at[0].set(v)
+    return split
+
+
+eval_chunks_stacked = jax.jit(eval_chunks_stacked_impl,
+                              static_argnames=("opt", "spec", "prob"))
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def rebuild_grid(state: TrainState, spec: GridSpec) -> Dict:
     point_state = point_state_of(state)

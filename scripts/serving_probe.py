@@ -73,28 +73,35 @@ def main():
         if len(subs) == args.group:
             break
     stacked = {"raydir": jnp.asarray(np.stack([s["raydir"] for s in subs]))}
-    for label, o in (("rung0_train_budget", opt),
-                     ("rung2_budget_off", opt.replace(SR_budget=0))):
-        outs = trainer.eval_chunks(ts, grid, stacked, const_batch, o, spec)
-        float(jnp.sum(outs["coarse_raycolor"]))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            outs = trainer.eval_chunks(ts, grid, stacked, const_batch, o, spec)
-        over = int(np.asarray(outs["sr_overflow"]).sum())
-        float(jnp.sum(outs["coarse_raycolor"]))
-        dt = (time.perf_counter() - t0) / 3
-        print(json.dumps({label + "_ms_per_group": round(dt * 1000.0, 1),
-                          "rays_per_group": chunk * args.group,
-                          "krays_per_s": round(chunk * args.group / dt / 1e3, 1),
-                          "sr_overflow": over}))
+    for mode, fn in (("map", trainer.eval_chunks),
+                     ("stacked", trainer.eval_chunks_stacked)):
+        for label, o in (("rung0_train_budget", opt),
+                         ("rung2_budget_off", opt.replace(SR_budget=0))):
+            outs = fn(ts, grid, stacked, const_batch, o, spec)
+            float(jnp.sum(outs["coarse_raycolor"]))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                outs = fn(ts, grid, stacked, const_batch, o, spec)
+            over = int(np.asarray(outs["sr_overflow"]).sum())
+            float(jnp.sum(outs["coarse_raycolor"]))
+            dt = (time.perf_counter() - t0) / 3
+            print(json.dumps({
+                "mode": mode,
+                label + "_ms_per_group": round(dt * 1000.0, 1),
+                "rays_per_group": chunk * args.group,
+                "krays_per_s": round(chunk * args.group / dt / 1e3, 1),
+                "sr_overflow": over}), flush=True)
 
-    # ---- full image through the production path
-    t0 = time.perf_counter()
-    maps = render_image(ts, grid, opt, spec, item, group=args.group)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"render_s": round(dt, 2),
-                      "krays_per_s": round(R / dt / 1e3, 1),
-                      "finite": bool(np.isfinite(maps["coarse_raycolor"]).all())}))
+    # ---- full image through the production path, both group modes
+    for stack in (True, False):
+        t0 = time.perf_counter()
+        maps = render_image(ts, grid, opt, spec, item, group=args.group,
+                            stack=stack)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"stack": stack, "render_s": round(dt, 2),
+                          "krays_per_s": round(R / dt / 1e3, 1),
+                          "finite": bool(np.isfinite(
+                              maps["coarse_raycolor"]).all())}), flush=True)
 
 
 if __name__ == "__main__":

@@ -333,3 +333,71 @@ def test_sr_budget_compaction_batched_matches_per_camera():
     _, items = trainer.train_step(ts, grid, bt, jax.random.PRNGKey(1),
                                   opt_c, spec)
     assert np.isfinite(float(items["loss_total"]))
+
+
+def test_render_image_stacked_matches_map():
+    """The stacked group eval (one wide program per group,
+    trainer.eval_chunks_stacked — the serving default) must reproduce the
+    per-chunk render: rays are independent, so chunk grouping is purely an
+    execution-shape choice. The stacked program is BITWISE the direct
+    eval_step on each chunk (measured; the lax.map path deviates up to
+    ~6e-4 from its scan-body fusing transcendentals differently, so the
+    map comparison is allclose)."""
+    from pointnerf_tpu.run.common import render_image
+
+    opt, state, spec, grid, batch, _ = tiny_setup(R_side=8)
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
+    R = int(batch["raydir"].shape[1])
+    opt0 = opt.replace(SR_budget=0)
+
+    # trainer-level: the wide program == direct per-chunk eval, bitwise,
+    # including prob-mode per-ray outputs through the split
+    C = 16
+    stacked = {"raydir": jnp.stack(
+        [batch["raydir"][:, s:s + C] for s in range(0, R, C)])}
+    const = {k: batch[k] for k in
+             ("campos", "camrotc2w", "near", "far", "bg_color")}
+    out_stk = trainer.eval_chunks_stacked(ts, grid, stacked, const, opt0,
+                                          spec, prob=True)
+    assert "conf_compact" not in out_stk  # training-only leaves dropped
+    for ci, s in enumerate(range(0, R, C)):
+        sub = dict(batch, raydir=batch["raydir"][:, s:s + C])
+        direct = trainer.eval_step(ts, grid, sub, opt0, spec, prob=True)
+        for k in ("coarse_raycolor", "ray_mask", "coarse_point_opacity",
+                  "ray_max_shading_opacity", "ray_max_sample_loc_w"):
+            np.testing.assert_array_equal(
+                np.asarray(out_stk[k][ci]), np.asarray(direct[k]),
+                err_msg=f"chunk {ci} key {k}")
+    np.testing.assert_array_equal(np.asarray(out_stk["sr_overflow"]),
+                                  np.zeros((R // C,), np.int32))
+
+    # render_image-level: stacked vs map path, 4 chunks grouped 3+1
+    side = int(np.sqrt(R))
+    ii, jj = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    item = {
+        "raydir": np.asarray(batch["raydir"]),
+        "campos": np.asarray(batch["campos"]),
+        "camrotc2w": np.asarray(batch["camrotc2w"]),
+        "near": batch["near"], "far": batch["far"],
+        "bg_color": np.asarray(batch["bg_color"]),
+        "pixel_idx": np.stack([jj.ravel(), ii.ravel()], -1)[None],
+        "h": side, "w": side,
+    }
+    opt_r = opt.replace(random_sample_size=4)
+    exact_map = render_image(ts, grid, opt_r.replace(SR_budget=0), spec, item,
+                             group=3, stack=False)
+    exact_stk = render_image(ts, grid, opt_r.replace(SR_budget=0), spec, item,
+                             group=3, stack=True)
+    np.testing.assert_allclose(exact_stk["coarse_raycolor"],
+                               exact_map["coarse_raycolor"], atol=2e-3)
+    np.testing.assert_array_equal(exact_stk["ray_mask"],
+                                  exact_map["ray_mask"])
+
+    # tight per-chunk budget: the stacked path scales explicit rungs by the
+    # group size and must still walk the ladder to a lossless render
+    tight_stk = render_image(ts, grid, opt_r.replace(SR_budget=8), spec, item,
+                             group=3, stack=True)
+    np.testing.assert_array_equal(tight_stk["ray_mask"],
+                                  exact_stk["ray_mask"])
+    np.testing.assert_allclose(tight_stk["coarse_raycolor"],
+                               exact_stk["coarse_raycolor"], atol=1e-5)
