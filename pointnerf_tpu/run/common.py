@@ -466,19 +466,27 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
         return trainer.eval_chunks(ts, grid, stacked, const_batch, opt_used,
                                    spec, prob=prob)
 
-    def flush(pending):
+    def drain(inflight):
+        """Consume the oldest in-flight group: ladder check + host scatter.
+
+        Dispatches run two groups ahead (the loop below), so the device
+        computes group i+1 while the host fetches/scatters group i — jax
+        dispatch is async, and the per-group sr_overflow fetch is the only
+        forced sync. A group that overflows is re-rendered up the ladder
+        immediately (rare; the raised rung persists for later dispatches,
+        and already-dispatched groups get the same check when drained)."""
         nonlocal overflow, rung
-        if not pending:
-            return
+        pending, outs, rung_used = inflight.popleft()
         while True:
-            outs = run_group(pending, rungs[rung])
             over = np.asarray(outs.get("sr_overflow",
                                        jnp.zeros((len(pending),), jnp.int32)))
             dropped = int(sum(over[: len(pending)]))
-            if dropped == 0 or rung == len(rungs) - 1:
+            if dropped == 0 or rung_used == len(rungs) - 1:
                 break
             overflow += dropped
-            rung += 1
+            rung_used += 1
+            rung = max(rung, rung_used)
+            outs = run_group(pending, rungs[rung_used])
         for ci, (sub, s, e) in enumerate(pending):
             px, py = pix[s:e, 0], pix[s:e, 1]
             for key in keys:
@@ -492,13 +500,20 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                     maps[key] = np.zeros((H, W, arr.shape[-1]), np.float32)
                 maps[key][py, px] = arr
 
+    from collections import deque
+    inflight: deque = deque()
     pending = []
     for sub, s, e in chunks_of_item(item, chunk):
         pending.append((sub, s, e))
         if len(pending) == group:
-            flush(pending)
+            inflight.append((pending, run_group(pending, rungs[rung]), rung))
             pending = []
-    flush(pending)
+            if len(inflight) > 2:
+                drain(inflight)
+    if pending:
+        inflight.append((pending, run_group(pending, rungs[rung]), rung))
+    while inflight:
+        drain(inflight)
     if overflow > 0:
         # informational only — overflowing groups were re-rendered exactly
         print(f"[render_image] note: SR_budget overflow on {overflow} shading "
