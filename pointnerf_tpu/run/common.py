@@ -395,7 +395,8 @@ CONST_BATCH_KEYS = ("campos", "camrotc2w", "near", "far", "bg_color")
 
 def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                  keys: Tuple[str, ...] = ("coarse_raycolor", "ray_mask"),
-                 group: int = 8, stack: bool = True) -> Dict[str, np.ndarray]:
+                 group: int = 8, stack: bool = True,
+                 mesh=None) -> Dict[str, np.ndarray]:
     """Chunked full-image render: scatter ray chunks into [H,W,C] host maps
     (reference: run/train_ft.py:283-322 test / :470-494 probe_hole).
 
@@ -408,6 +409,15 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     lax.map bodies (trainer.eval_chunks, ``stack=False``). The tail group
     compiles its own (smaller) program shape instead of padding — two cached
     programs per image size, no wasted chunk renders.
+
+    Multi-chip serving: pass ``mesh`` (a ("batch","rays"[,"points"]) Mesh,
+    parallel.make_mesh) and the SAME stacked program runs SPMD — the group's
+    chunk axis shards over the ray plane (each chip renders group/|rays|
+    chunks) and XLA partitions every per-ray op. `ts`/`grid` keep whatever
+    placement the caller gave them: parallel.replicate(...) for pure dp,
+    or parallel.points.shard_state/shard_grid for point-sharded tables
+    (cross-chip gathers inserted by GSPMD). Requires ``stack`` and the
+    world-coord query (the frustum per-camera grid rebuild is single-chip).
 
     Eval never drops valid shading rows (the reference's compaction is
     dynamic-shape, run/train_ft.py:283-322): a group whose compaction budget
@@ -425,6 +435,23 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     const_batch = {k: jnp.asarray(item[k]) for k in CONST_BATCH_KEYS
                    if k in item}
     group = max(1, int(group))
+    chunk_sharding = None
+    if mesh is not None:
+        assert stack, "mesh serving shards the stacked wide program"
+        assert opt.wcoord_query != 0, \
+            "frustum serving is single-chip (per-camera grid rebuild)"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # shard the per-chunk ray axis (dim 2 of the [n,1,C,...] stack) over
+        # the ray plane — C is a square of random_sample_size and divides the
+        # plane for any pow2 mesh, unlike the tail group's chunk count n;
+        # per-camera leaves replicate (they must share the mesh placement or
+        # jit rejects the mix)
+        plane = int(np.prod([mesh.shape[a] for a in ("batch", "rays")]))
+        assert chunk % plane == 0, (chunk, plane)
+        chunk_sharding = NamedSharding(mesh, P(None, None, ("batch", "rays")))
+        repl = NamedSharding(mesh, P())
+        const_batch = {k: (jax.device_put(v, repl) if hasattr(v, "ndim") else v)
+                       for k, v in const_batch.items()}
 
     if opt.wcoord_query == 0 and "xyz_pers" not in grid:
         # frustum serving fast path: build the per-camera perspective grid
@@ -453,6 +480,9 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
     def run_group(pending, opt_used):
         stacked = {k: jnp.asarray(np.stack([p[0][k] for p in pending]))
                    for k in RAY_CHUNK_KEYS if k in pending[0][0]}
+        if chunk_sharding is not None:
+            stacked = {k: jax.device_put(v, chunk_sharding)
+                       for k, v in stacked.items()}
         if stack:
             # the wide program pools the compaction row space: explicit
             # budgets (rung 1's 2x value, or a user-set SR_budget) are

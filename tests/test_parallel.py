@@ -156,3 +156,44 @@ def test_points_sharded_step_matches_single_chip(scene):
     np.testing.assert_allclose(np.asarray(out["coarse_raycolor"]),
                                np.asarray(ref["coarse_raycolor"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_render_image_mesh_serving_matches_single_chip(scene):
+    """Full-image SPMD serving: render_image(mesh=...) shards the stacked
+    wide program's ray axis over the mesh and must reproduce the
+    single-device image — with replicated tables (pure dp) AND with
+    point-sharded state/grid (GSPMD-inserted cross-chip gathers)."""
+    from pointnerf_tpu.run.common import render_image
+    from pointnerf_tpu.parallel import shard_state, shard_grid
+
+    opt, state, spec, grid, batch = scene
+    ts = trainer.create_train_state(opt, jax.random.PRNGKey(3), state)
+    R = int(batch["raydir"].shape[1])
+    side = int(np.sqrt(R))
+    ii, jj = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    item = {
+        "raydir": np.asarray(batch["raydir"]),
+        "campos": np.asarray(batch["campos"]),
+        "camrotc2w": np.asarray(batch["camrotc2w"]),
+        "near": batch["near"], "far": batch["far"],
+        "bg_color": np.asarray(batch["bg_color"]),
+        "pixel_idx": np.stack([jj.ravel(), ii.ravel()], -1)[None],
+        "h": side, "w": side,
+    }
+    opt_r = opt.replace(random_sample_size=4, SR_budget=0)  # 4 chunks of 16
+    ref = render_image(ts, grid, opt_r, spec, item, group=3)
+
+    mesh = make_mesh(8, batch_size=1)  # 16-ray chunk axis over 8 devices
+    out_dp = render_image(replicate(ts, mesh), replicate(grid, mesh), opt_r,
+                          spec, item, group=3, mesh=mesh)
+    np.testing.assert_allclose(out_dp["coarse_raycolor"],
+                               ref["coarse_raycolor"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(out_dp["ray_mask"], ref["ray_mask"])
+
+    mesh_mp = make_mesh(8, batch_size=1, points=4)
+    out_mp = render_image(shard_state(ts, mesh_mp),
+                          shard_grid(grid, spec, mesh_mp), opt_r, spec, item,
+                          group=3, mesh=mesh_mp)
+    np.testing.assert_allclose(out_mp["coarse_raycolor"],
+                               ref["coarse_raycolor"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(out_mp["ray_mask"], ref["ray_mask"])
