@@ -316,15 +316,16 @@ _SUPPORTED_VALUES = {
     "mvs_point_sampler": ("gau_single_sampler",),
     "no_loss": (0,),
     "shading_color_channel_num": (3,),
-    # schedules implemented in models/networks.py::make_lr_schedule; the
-    # reference's 4th option (ReduceLROnPlateau) is unused by every shipped
-    # dev_script (they all set iter_exponential_decay)
-    "lr_policy": ("iter_exponential_decay", "lambda", "step"),
+    # schedules implemented in models/networks.py::make_lr_schedule
+    # (plateau = constant schedule + driver-owned PlateauTracker reduction)
+    "lr_policy": ("iter_exponential_decay", "lambda", "step", "plateau"),
     "train_and_test": (0, 1),              # drivers always test at the end
 }
-# loss families no shipped dev_script enables; parsed for script parity only
-_UNIMPLEMENTED_LOSSES = ("depth_loss_items", "bg_loss_items",
-                         "l2_size_loss_items")
+# loss families (depth / bg / l2_size) are implemented in models/losses.py;
+# each item list must come with a weight list of matching length (or a single
+# broadcast weight, reference base_rendering_model.py:237-268)
+_WEIGHTED_LOSSES = ("color_loss", "depth_loss", "bg_loss", "zero_one_loss",
+                    "l2_size_loss")
 # GPU/loader knobs with no TPU meaning (device use is via the jax mesh;
 # items are host numpy + scan dispatch): accepted silently at any value
 # — gpu_ids, gpu_maxthr, n_threads, pin_data_in_memory, mvs_img_wh.
@@ -338,11 +339,13 @@ def validate_options(opt: "Options") -> "Options":
             raise NotImplementedError(
                 f"--{name}={v!r}: only {ok} is implemented (the value every "
                 f"shipped reference dev_script uses)")
-    for name in _UNIMPLEMENTED_LOSSES:
-        if getattr(opt, name):
-            raise NotImplementedError(
-                f"--{name} is parsed for reference-script parity but these "
-                f"losses are not implemented (no shipped dev_script sets them)")
+    for fam in _WEIGHTED_LOSSES:
+        its = getattr(opt, fam + "_items")
+        ws = getattr(opt, fam + "_weights")
+        if its and len(ws) != len(its) and len(ws) != 1:
+            raise ValueError(
+                f"--{fam}_weights must have 1 entry or match "
+                f"--{fam}_items ({len(its)} items, {len(ws)} weights)")
     if opt.NN < 0:
         # vox-grid query: the cloud must be a construct_grid_points lattice
         # with frozen positions (ops/voxgrid.py derive_lattice)

@@ -103,6 +103,22 @@ class BaseDataset:
             py = pixelcoords[..., 1].astype(np.int32).reshape(-1)
             px = pixelcoords[..., 0].astype(np.int32).reshape(-1)
             item["gt_image"] = gt_image[py, px].reshape(1, -1, 3).astype(np.float32)
+            # depth / background supervision reads per-ray gt_mask (and
+            # gt_depth); attached only when the loss items are enabled so the
+            # batch pytree (and every compiled program keyed on it) is
+            # unchanged otherwise (reference base_rendering_model.py:610-627)
+            if opt.depth_loss_items or opt.bg_loss_items:
+                a = getattr(self, "alphas", None)
+                item["gt_mask"] = (
+                    a[idx][py, px].reshape(1, -1) > 0.5
+                    if a else np.ones((1, py.size), bool)).astype(np.float32)
+            if opt.depth_loss_items:
+                d = getattr(self, "depths", None)
+                if d is None:
+                    raise ValueError(
+                        f"--depth_loss_items needs per-view depth maps; "
+                        f"dataset {self.name()} provides none")
+                item["gt_depth"] = d[idx][py, px].reshape(1, -1).astype(np.float32)
         return item
 
     def get_item(self, idx: int, rng: Optional[np.random.RandomState] = None,
@@ -127,7 +143,8 @@ def chunks_of_item(item: Dict, chunk_rays: int):
         e = min(s + chunk_rays, R)
         pad = chunk_rays - (e - s)
         sub = dict(item)
-        for k in ("raydir", "pixel_idx", "gt_image", "bg_ray"):
+        for k in ("raydir", "pixel_idx", "gt_image", "bg_ray",
+                  "gt_mask", "gt_depth"):
             if k in item:
                 a = item[k][:, s:e]
                 if pad:

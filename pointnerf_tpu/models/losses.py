@@ -19,14 +19,24 @@ def _masked_mse(pred, gt, mask):
     return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
 
 
-def compute_losses(opt, output: Dict, gt_image: jnp.ndarray
+def _pair(items, weights):
+    """Reference weight broadcast: a single weight applies to every item
+    (base_rendering_model.py:242-244)."""
+    if len(weights) == 1 and len(items) > 1:
+        weights = tuple(weights) * len(items)
+    return zip(items, weights)
+
+
+def compute_losses(opt, output: Dict, gt_image: jnp.ndarray,
+                   gt_mask: jnp.ndarray = None, gt_depth: jnp.ndarray = None
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total training loss + per-item dict. gt_image: [B,R,3]."""
+    """Total training loss + per-item dict. gt_image: [B,R,3];
+    gt_mask/gt_depth: [B,R] (required iff depth/bg loss items are set)."""
     total = 0.0
     items = {}
     ray_mask = output["ray_mask"]
 
-    for name, w in zip(opt.color_loss_items, opt.color_loss_weights):
+    for name, w in _pair(opt.color_loss_items, opt.color_loss_weights):
         if name.startswith("ray_masked"):
             key = name[len("ray_masked") + 1:]
             loss = _masked_mse(output[key], gt_image, ray_mask)
@@ -42,7 +52,26 @@ def compute_losses(opt, output: Dict, gt_image: jnp.ndarray
         items["loss_" + name] = loss
         total = total + loss * w + 1e-6
 
-    for name, w in zip(opt.zero_one_loss_items, opt.zero_one_loss_weights):
+    # depth supervision (reference :610-617): MSE of the masked rendered
+    # depth vs the masked sensor depth, mean over ALL rays (the reference's
+    # plain MSELoss — the mask zeroes both sides, it does not renormalize)
+    for name, w in _pair(opt.depth_loss_items, opt.depth_loss_weights):
+        m = gt_mask.astype(gt_depth.dtype)
+        pred = output[name].reshape(m.shape)
+        loss = jnp.mean(jnp.square(pred * m - gt_depth * m))
+        items["loss_" + name] = loss
+        total = total + loss * w
+
+    # background supervision (reference :619-627): push the rendered
+    # background transmission toward 1 outside the object mask
+    for name, w in _pair(opt.bg_loss_items, opt.bg_loss_weights):
+        inv = 1.0 - gt_mask.astype(gt_image.dtype)
+        pred = output[name].reshape(inv.shape)
+        loss = jnp.mean(jnp.square(pred * inv - inv))
+        items["loss_" + name] = loss
+        total = total + loss * w
+
+    for name, w in _pair(opt.zero_one_loss_items, opt.zero_one_loss_weights):
         if name == "conf_coefficient" and "conf_compact" in output:
             # compact form: mean over the full B·R·SR·K element space, but
             # only the Nc·K compacted rows carry data — every element the
@@ -63,6 +92,13 @@ def compute_losses(opt, output: Dict, gt_image: jnp.ndarray
             val = jnp.clip(output[name], opt.zero_epsilon,
                            1.0 - opt.zero_epsilon)
             loss = jnp.mean(jnp.log(val) + jnp.log(1.0 - val))
+        items["loss_" + name] = loss
+        total = total + loss * w
+
+    # l2 square regularization (reference :644-651): MSE of the named
+    # output against zero
+    for name, w in _pair(opt.l2_size_loss_items, opt.l2_size_loss_weights):
+        loss = jnp.mean(jnp.square(output[name]))
         items["loss_" + name] = loss
         total = total + loss * w
 

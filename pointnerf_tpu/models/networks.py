@@ -114,4 +114,41 @@ def make_lr_schedule(opt, base_lr: float):
         def sched(step):
             return base_lr * jnp.power(0.1, step // opt.lr_decay_iters)
         return sched
+    if opt.lr_policy == "plateau":
+        # torch ReduceLROnPlateau mutates the optimizer's lr when the
+        # tracked metric plateaus (reference helpers/networks.py:50-55);
+        # here the schedule itself is constant and the DRIVER owns the
+        # reduction: PlateauTracker.update() → opt.replace(lr=lr*factor)
+        # (Adam moments are lr-invariant, so swapping the static lr only
+        # recompiles the step — a few seconds, a handful of times per run)
+        def sched(step):
+            return jnp.asarray(base_lr, jnp.float32) + 0.0 * step
+        return sched
     raise NotImplementedError(f"lr policy {opt.lr_policy}")
+
+
+class PlateauTracker:
+    """Host-side ReduceLROnPlateau decision logic (mode=min, rel threshold),
+    semantics-parity with torch.optim.lr_scheduler.ReduceLROnPlateau as the
+    reference configures it (factor=0.2, threshold=0.01, patience=5;
+    reference helpers/networks.py:50-55). update(metric) returns True when
+    the lr should be multiplied by the factor now."""
+
+    def __init__(self, factor: float = 0.2, threshold: float = 0.01,
+                 patience: int = 5):
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def update(self, metric: float) -> bool:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+            return False
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return True
+        return False

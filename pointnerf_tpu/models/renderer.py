@@ -293,7 +293,7 @@ def render_shade(agg_params: Dict,
     if "bg_ray" in batch:
         output["coarse_raycolor"] = ray_color + batch["bg_ray"] * background_transmission
 
-    if opt.compute_depth:
+    if opt.compute_depth or opt.depth_loss_items:
         w = (opacity * acc_transmission)
         zv = jax.lax.cummax(sample_loc[..., 2], axis=2)
         output["coarse_depth"] = jnp.sum(w * zv, axis=-1) / (jnp.sum(w, axis=-1) + 1e-6)

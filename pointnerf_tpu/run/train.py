@@ -118,7 +118,9 @@ def gen_train_step_impl(state: GenTrainState, sample: Dict, batch: Dict,
         output = render_forward(agg_params, point_state, grid, spec, opt,
                                 batch, k_render, is_train=True,
                                 compute_dtype=COMPUTE_DTYPES[opt.compute_dtype])
-        total, items = compute_losses(opt, output, batch["gt_image"])
+        total, items = compute_losses(opt, output, batch["gt_image"],
+                                      gt_mask=batch.get("gt_mask"),
+                                      gt_depth=batch.get("gt_depth"))
         return total, items
 
     (_, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),

@@ -33,6 +33,7 @@ from ..data.loader import Prefetcher
 from ..utils.checkpoint import save_checkpoint, load_checkpoint, latest_step
 from ..utils.profiling import PhaseTimer, device_trace
 from ..utils.metrics import psnr as psnr_fn, report_metrics
+from ..models.networks import PlateauTracker
 from ..utils.visualizer import Visualizer
 from .common import (init_point_state_from_dataset, make_spec_and_grid,
                      options_from_cli, render_image, PROBE_KEYS)
@@ -273,6 +274,7 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             f"{len(bg_test)} test frames")
 
     total_steps, best_psnr, best_iter = 0, 0.0, 0
+    plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
     if latest_step(ckpt_dir) is not None:
         ts, counters = load_checkpoint(ckpt_dir, ts)
         total_steps = counters["total_steps"]
@@ -445,6 +447,15 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                        max_images=opt.test_num, bg_maps=bg_test)
             if cur > best_psnr:
                 best_psnr, best_iter = cur, total_steps
+            if plateau is not None and plateau.update(-cur):
+                # lr_policy=plateau: reduce both lrs when held-out PSNR
+                # plateaus (torch ReduceLROnPlateau semantics, reference
+                # helpers/networks.py:50-55). Adam moments are lr-invariant;
+                # swapping the static lr just recompiles the step.
+                opt = opt.replace(lr=opt.lr * plateau.factor,
+                                  plr=opt.plr * plateau.factor)
+                visualizer.print_details(
+                    f"plateau: lr -> {opt.lr:.3e}, plr -> {opt.plr:.3e}")
 
     # ---------------------------------------------------------------- final
     trace_ctx.__exit__(None, None, None)

@@ -114,7 +114,8 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
     R = batch["raydir"].shape[1]
     C = int(opt.ray_chunk)
     chunked = C > 0 and R > C and R % C == 0
-    RAY_KEYS = ("raydir", "gt_image", "pixel_idx", "bg_ray")
+    RAY_KEYS = ("raydir", "gt_image", "pixel_idx", "bg_ray",
+                "gt_mask", "gt_depth")
 
     def run_render(agg_params, pt_train, sub_batch, sub_key):
         point_state = merge_point_params(pt_train, state.pt_static)
@@ -151,6 +152,12 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                 out = run_render(agg_params, pt_train, sub,
                                  jax.random.fold_in(key, idx))
                 keys = ["coarse_raycolor", "ray_mask", "sr_overflow"]
+                if opt.depth_loss_items:
+                    keys.append("coarse_depth")
+                if opt.bg_loss_items:
+                    keys.append("coarse_is_background")
+                if opt.l2_size_loss_items:
+                    keys += list(opt.l2_size_loss_items)
                 if "conf_compact" in out:    # compact-form loss inputs
                     keys += ["conf_compact", "weight_compact",
                              "compact_valid", "zero_one_total"]
@@ -163,14 +170,16 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
             # leaves keep their stacked chunk axis — compute_losses sums
             # them and divides by sum(zero_one_total), which is exact
             ray_shaped = ("coarse_raycolor", "ray_mask", "conf_coefficient",
-                          "weight")
+                          "weight", "coarse_depth", "coarse_is_background")
             output = {k: (v.swapaxes(0, 1).reshape((1, R) + v.shape[3:])
                           if k in ray_shaped else v)
                       for k, v in outs.items()}
             output["sr_overflow"] = overflow
         else:
             output = run_render(agg_params, pt_train, batch, key)
-        total, items = compute_losses(opt, output, batch["gt_image"])
+        total, items = compute_losses(opt, output, batch["gt_image"],
+                                      gt_mask=batch.get("gt_mask"),
+                                      gt_depth=batch.get("gt_depth"))
         # compaction-budget overflow (valid rows rendered empty): drivers log
         # it and can raise opt.SR_budget when it is persistently nonzero
         items["sr_overflow"] = output["sr_overflow"].astype(jnp.float32)

@@ -154,3 +154,32 @@ def test_bg_color_random(scene_dir):
 def test_registry_unknown():
     with pytest.raises(KeyError):
         find_dataset_class_by_name("nope")
+
+
+def test_item_gt_mask_depth_sampling(scene_dir):
+    """gt_mask / gt_depth are sampled at the item's pixel coords when the
+    depth/bg loss items are enabled, and absent otherwise (batch pytree
+    stability)."""
+    opt = make_opt(scene_dir)
+    ds = create_dataset(opt, split="train")
+    item = ds.get_item(0, rng=np.random.RandomState(0))
+    assert "gt_mask" not in item and "gt_depth" not in item
+
+    opt2 = make_opt(scene_dir,
+                    depth_loss_items=("coarse_depth",),
+                    depth_loss_weights=(0.1,),
+                    bg_loss_items=("coarse_is_background",),
+                    bg_loss_weights=(0.1,))
+    ds2 = create_dataset(opt2, split="train")
+    it2 = ds2.get_item(0, rng=np.random.RandomState(0))
+    R = it2["raydir"].shape[1]
+    assert it2["gt_mask"].shape == (1, R)
+    assert it2["gt_depth"].shape == (1, R)
+    # mask values come from the alpha channel at the sampled pixels
+    px = it2["pixel_idx"].reshape(-1, 2).astype(np.int64)
+    want = (ds2.alphas[0][px[:, 1], px[:, 0]] > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(it2["gt_mask"].reshape(-1), want)
+    # chunk splitting carries the new keys
+    full = ds2.get_item(0, rng=np.random.RandomState(0), full_img=True)
+    ch, _, _ = next(iter(chunks_of_item(full, 64)))
+    assert ch["gt_mask"].shape == (1, 64)

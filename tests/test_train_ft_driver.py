@@ -97,9 +97,16 @@ def test_cli_rejects_unimplemented_flag_values(scene_root):
     with pytest.raises(NotImplementedError):
         options_from_cli(["--preset", "nerf_synth:lego",
                           "--which_agg_model", "sh"])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
+        # mismatched weight count (must be 1 or len(items))
         options_from_cli(["--preset", "nerf_synth:lego",
-                          "--depth_loss_items", "depth"])
+                          "--depth_loss_items", "coarse_depth",
+                          "--depth_loss_weights", "0.1", "0.2"])
+    # depth/bg/l2_size losses themselves are implemented (models/losses.py)
+    opt_d = options_from_cli(["--preset", "nerf_synth:lego",
+                              "--depth_loss_items", "coarse_depth",
+                              "--depth_loss_weights", "0.1"])
+    assert opt_d.depth_loss_items == ("coarse_depth",)
     # the shipped dev_script values all pass
     opt = options_from_cli(["--preset", "nerf_synth:lego",
                             "--apply_pnt_mask", "1", "--normview", "0"])

@@ -189,3 +189,30 @@ def test_evaluate_cli(tmp_path):
     scores = eval_main(["-i", d, "-m", "psnr", "ssim", "rmse"])
     assert scores["psnr"] > 20 and 0.9 < scores["ssim"] <= 1.0
     assert os.path.exists(os.path.join(d, "scores.txt"))
+
+
+def test_plateau_tracker_matches_torch():
+    """PlateauTracker reduction steps match torch ReduceLROnPlateau
+    (mode=min, factor=0.2, threshold=0.01, patience=5 — the reference's
+    configuration, helpers/networks.py:50-55) on a noisy metric sequence."""
+    import torch
+    from pointnerf_tpu.models.networks import PlateauTracker
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt_t = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt_t, mode="min", factor=0.2, threshold=0.01, patience=5)
+    tracker = PlateauTracker()
+
+    rng = np.random.RandomState(3)
+    metric, lr_ours = 10.0, 1.0
+    for i in range(80):
+        # improving phase, then a long plateau, then improvement again
+        if i < 10 or 40 <= i < 45:
+            metric *= 0.9
+        m = metric * (1.0 + 0.005 * rng.randn())
+        sched.step(m)
+        if tracker.update(m):
+            lr_ours *= tracker.factor
+        assert abs(opt_t.param_groups[0]["lr"] - lr_ours) < 1e-9, i
+    assert lr_ours < 1.0  # the plateau actually triggered reductions
