@@ -35,7 +35,18 @@ class Options:
     model: str = "mvs_points_volumetric"
     scan: str = "lego"
     split: str = "train"
-    gpu_ids: Tuple[int, ...] = _t(0)  # kept for config parity; device use is via jax mesh
+    # Multi-device: the reference engages DataParallel from --gpu_ids
+    # (reference: options/base_options.py:79-82 +
+    # neural_points_volumetric_model.py:165-168). Here the equivalent is an
+    # SPMD mesh: --n_devices N (0 = single device, -1 = all local devices)
+    # spreads the ray batch over a ("batch","rays"[,"points"]) mesh;
+    # --mesh_points M > 1 additionally shards the point buffers / voxel
+    # buckets / their Adam moments over a "points" axis (HBM scaling).
+    # --gpu_ids with >1 ids is translated to n_devices=len(gpu_ids) by
+    # validate_options — never silently ignored.
+    gpu_ids: Tuple[int, ...] = _t(0)
+    n_devices: int = 0
+    mesh_points: int = 1
     debug: bool = False
     is_train: bool = True
     timestamp: bool = False
@@ -363,6 +374,23 @@ def validate_options(opt: "Options") -> "Options":
             raise ValueError("--NN -1 is a world-coord mode; it cannot be "
                              "combined with the frustum querier "
                              "(--wcoord_query 0)")
+    # multi-device: honor the reference's --gpu_ids spirit (DataParallel
+    # engaged automatically from the flag) — multiple ids mean "use that many
+    # devices", translated to the SPMD mesh; never a silent no-op
+    if len(opt.gpu_ids) > 1:
+        if opt.n_devices not in (0, len(opt.gpu_ids)):
+            raise ValueError(
+                f"--gpu_ids {opt.gpu_ids} conflicts with --n_devices "
+                f"{opt.n_devices}; set one (gpu_ids maps to the first "
+                f"len(gpu_ids) jax devices)")
+        opt = opt.replace(n_devices=len(opt.gpu_ids))
+    if opt.mesh_points < 1:
+        raise ValueError(f"--mesh_points must be >= 1, got {opt.mesh_points}")
+    if opt.mesh_points > 1:
+        n = opt.n_devices
+        if n > 0 and n % opt.mesh_points != 0:
+            raise ValueError(
+                f"--mesh_points {opt.mesh_points} must divide --n_devices {n}")
     if opt.point_noise:
         fn = opt.point_noise.split("_")[0]
         if fn not in ("pointgaussian", "pointuniform", "pointuniformadd",

@@ -23,14 +23,18 @@ def register_dataset(name: str):
 
 
 def find_dataset_class_by_name(name: str) -> type:
-    # import side-effect registration
+    # import side-effect registration; module names == registered names, so
+    # an ImportError inside the module the caller actually asked for must
+    # surface as its own traceback, not as "unknown dataset" — only sibling
+    # datasets (e.g. missing optional deps) may be skipped
     import importlib
-    for mod in ("nerf_synth360_ft", "tt_ft", "scannet_ft", "llff_ft", "dtu",
-                "dtu_ft"):
+    for mod in ("nerf_synth360_ft", "nerf_synth_ft", "tt_ft", "scannet_ft",
+                "llff_ft", "dtu", "dtu_ft"):
         try:
             importlib.import_module(f".{mod}", __package__)
         except ImportError:
-            pass
+            if mod == name:
+                raise
     if name not in _REGISTRY:
         raise KeyError(f"unknown dataset {name}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name]

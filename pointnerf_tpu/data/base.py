@@ -113,11 +113,18 @@ class BaseDataset:
                     a[idx][py, px].reshape(1, -1) > 0.5
                     if a else np.ones((1, py.size), bool)).astype(np.float32)
             if opt.depth_loss_items:
+                # datasets must declare metric depth explicitly: several
+                # shipped datasets store binary alpha masks or placeholders
+                # in self.depths (nerf_synth360_ft, tt_ft) — supervising
+                # rendered depth toward mask values would be silent nonsense.
+                # Convention: gt_depth is camera-space z (what the renderer's
+                # coarse_depth reports), e.g. ScanNet sensor z-depth in meters.
                 d = getattr(self, "depths", None)
-                if d is None:
+                if d is None or not getattr(self, "has_metric_depth", False):
                     raise ValueError(
-                        f"--depth_loss_items needs per-view depth maps; "
-                        f"dataset {self.name()} provides none")
+                        f"--depth_loss_items needs metric per-view depth maps; "
+                        f"dataset {self.name()} provides "
+                        f"{'mask/placeholder depths' if d is not None else 'none'}")
                 item["gt_depth"] = d[idx][py, px].reshape(1, -1).astype(np.float32)
         return item
 

@@ -145,7 +145,20 @@ class ScannetFtDataset(BaseDataset):
             arr = np.asarray(img, np.float32)[..., :3] / 255.0
             self.render_gtimgs.append(arr)
             self.alphas.append(np.ones(arr.shape[:2], np.float32))
-            self.depths.append(np.ones(arr.shape[:2], np.float32))
+            if self.opt.depth_loss_items:
+                # real sensor depth for supervision: uint16 mm png at depth-
+                # camera resolution, nearest-resized to the color wh. This is
+                # camera-space z in meters — the renderer's coarse_depth
+                # convention (reference supervises ray-march t instead;
+                # z-depth matches the sensor's native parametrization).
+                import cv2
+                d = self.read_depth(
+                    os.path.join(self.exported, "depth", f"{i}.png"))
+                self.depths.append(cv2.resize(
+                    d, self.img_wh, interpolation=cv2.INTER_NEAREST))
+            else:
+                self.depths.append(np.ones(arr.shape[:2], np.float32))
+        self.has_metric_depth = bool(self.opt.depth_loss_items)
 
     # ------------------------------------------------------------------ points
     def read_depth(self, path: str) -> np.ndarray:

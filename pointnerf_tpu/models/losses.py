@@ -21,7 +21,11 @@ def _masked_mse(pred, gt, mask):
 
 def _pair(items, weights):
     """Reference weight broadcast: a single weight applies to every item
-    (base_rendering_model.py:242-244)."""
+    (base_rendering_model.py:242-244). Any other length mismatch is a
+    programming error — zip would silently drop loss terms (CLI paths are
+    validated in config.validate_options, but opt.replace bypasses it)."""
+    assert len(items) == 0 or len(weights) in (1, len(items)), \
+        (tuple(items), tuple(weights))
     if len(weights) == 1 and len(items) > 1:
         weights = tuple(weights) * len(items)
     return zip(items, weights)

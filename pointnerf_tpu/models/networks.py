@@ -128,22 +128,38 @@ def make_lr_schedule(opt, base_lr: float):
 
 
 class PlateauTracker:
-    """Host-side ReduceLROnPlateau decision logic (mode=min, rel threshold),
+    """Host-side ReduceLROnPlateau decision logic (rel threshold),
     semantics-parity with torch.optim.lr_scheduler.ReduceLROnPlateau as the
     reference configures it (factor=0.2, threshold=0.01, patience=5;
     reference helpers/networks.py:50-55). update(metric) returns True when
-    the lr should be multiplied by the factor now."""
+    the lr should be multiplied by the factor now.
+
+    mode="min" tracks a loss (improve iff metric < best*(1-threshold));
+    mode="max" tracks a quality score like PSNR (improve iff
+    metric > best*(1+threshold)). Do NOT feed a negated score into min
+    mode: for negative metrics best*(1-threshold) > best, so every value
+    counts as an improvement and the policy silently never fires — the
+    same quirk torch has (its rel-threshold math assumes positive metrics).
+    """
 
     def __init__(self, factor: float = 0.2, threshold: float = 0.01,
-                 patience: int = 5):
+                 patience: int = 5, mode: str = "min"):
+        assert mode in ("min", "max"), mode
         self.factor = factor
         self.threshold = threshold
         self.patience = patience
-        self.best = float("inf")
+        self.mode = mode
+        self.best = float("inf") if mode == "min" else float("-inf")
         self.num_bad = 0
 
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        # torch mode="max", threshold_mode="rel": a > best * (1 + threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
     def update(self, metric: float) -> bool:
-        if metric < self.best * (1.0 - self.threshold):
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
             return False
@@ -152,3 +168,12 @@ class PlateauTracker:
             self.num_bad = 0
             return True
         return False
+
+    def state_dict(self) -> dict:
+        return {"plateau_best": self.best, "plateau_num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        if "plateau_best" in d:
+            self.best = float(d["plateau_best"])
+        if "plateau_num_bad" in d:
+            self.num_bad = int(d["plateau_num_bad"])

@@ -294,6 +294,12 @@ def render_shade(agg_params: Dict,
         output["coarse_raycolor"] = ray_color + batch["bg_ray"] * background_transmission
 
     if opt.compute_depth or opt.depth_loss_items:
+        # Depth convention: CAMERA-SPACE Z (cummax of the perspective sample
+        # z), not ray-march distance — the reference supervises ray_ts
+        # (neural_points_volumetric_model.py:322), a different
+        # parametrization. Camera-z matches sensor depth natively (ScanNet
+        # uint16 z-maps); datasets feeding gt_depth must provide camera-z
+        # (data/base.py enforces has_metric_depth).
         w = (opacity * acc_transmission)
         zv = jax.lax.cummax(sample_loc[..., 2], axis=2)
         output["coarse_depth"] = jnp.sum(w * zv, axis=-1) / (jnp.sum(w, axis=-1) + 1e-6)

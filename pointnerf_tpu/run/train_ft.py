@@ -274,12 +274,29 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             f"{len(bg_test)} test frames")
 
     total_steps, best_psnr, best_iter = 0, 0.0, 0
-    plateau = PlateauTracker() if opt.lr_policy == "plateau" else None
+    # PSNR is a quality score: max-mode rel-threshold semantics (feeding a
+    # negated score into min mode never fires for negative metrics — the
+    # rel-threshold math assumes positive values; see PlateauTracker)
+    plateau = PlateauTracker(mode="max") if opt.lr_policy == "plateau" else None
+
+    def extra_counters():
+        """Driver state persisted beyond the reference's four counters: the
+        plateau-reduced effective lr/plr and the tracker state, so resume
+        does not silently undo LR reductions."""
+        out = {"lr": opt.lr, "plr": opt.plr}
+        if plateau is not None:
+            out.update(plateau.state_dict())
+        return out
+
     if latest_step(ckpt_dir) is not None:
         ts, counters = load_checkpoint(ckpt_dir, ts)
         total_steps = counters["total_steps"]
         best_psnr = counters.get("best_PSNR", 0.0)
         best_iter = counters.get("best_iter", 0)
+        if "lr" in counters:
+            opt = opt.replace(lr=counters["lr"], plr=counters["plr"])
+        if plateau is not None:
+            plateau.load_state_dict(counters)
         visualizer.print_details(f"resumed at step {total_steps}")
     spec, grid = make_spec_and_grid(opt, trainer.point_state_of(ts))
 
@@ -441,13 +458,14 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 np.asarray(st["conf"]) if st["conf"] is not None else None,
                 np.asarray(st["mask"]))
         if total_steps % opt.save_iter_freq == 0:
-            save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
+            save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr,
+                            best_iter, extra_counters=extra_counters())
         if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
             cur = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
                        max_images=opt.test_num, bg_maps=bg_test)
             if cur > best_psnr:
                 best_psnr, best_iter = cur, total_steps
-            if plateau is not None and plateau.update(-cur):
+            if plateau is not None and plateau.update(cur):
                 # lr_policy=plateau: reduce both lrs when held-out PSNR
                 # plateaus (torch ReduceLROnPlateau semantics, reference
                 # helpers/networks.py:50-55). Adam moments are lr-invariant;
@@ -460,7 +478,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     # ---------------------------------------------------------------- final
     trace_ctx.__exit__(None, None, None)
     prefetcher.close()
-    save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter)
+    save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter,
+                    extra_counters=extra_counters())
     final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
                       bg_maps=bg_test)
     if final_psnr > best_psnr:

@@ -135,8 +135,14 @@ def load_reference_torch(path: str, opt) -> Tuple[Dict, Dict]:
 # ------------------------------------------------------------------ save / resume
 def save_checkpoint(ckpt_dir: str, step: int, state, opt,
                     best_psnr: float = 0.0, best_iter: int = 0,
-                    epoch_count: int = 0) -> None:
-    """Write export + counters + full-resume files (reference: train_ft.py:955-966)."""
+                    epoch_count: int = 0,
+                    extra_counters: Optional[Dict] = None) -> None:
+    """Write export + counters + full-resume files (reference: train_ft.py:955-966).
+
+    extra_counters carries scalar driver state beyond the reference's four
+    (e.g. the plateau-reduced effective lr/plr and the PlateauTracker state,
+    so a resume does not silently reset the learning rate to the CLI base —
+    the reference rebuilds schedulers on resume and loses reductions too)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     from ..train.trainer import point_state_of
     export_reference_npz(
@@ -144,7 +150,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state, opt,
         state.agg_params, point_state_of(state))
     np.savez(os.path.join(ckpt_dir, f"{step}_states.npz"),
              epoch_count=epoch_count, total_steps=step,
-             best_PSNR=best_psnr, best_iter=best_iter)
+             best_PSNR=best_psnr, best_iter=best_iter,
+             **(extra_counters or {}))
     save_pytree_npz(os.path.join(ckpt_dir, f"{step}_full.npz"), state)
 
 
@@ -167,6 +174,7 @@ def load_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None):
     state = load_pytree_npz(os.path.join(ckpt_dir, f"{step}_full.npz"),
                             state_template)
     counters = dict(np.load(os.path.join(ckpt_dir, f"{step}_states.npz")))
-    counters = {k: (int(v) if "PSNR" not in k else float(v))
+    _int_keys = ("epoch_count", "total_steps", "best_iter", "plateau_num_bad")
+    counters = {k: (int(v) if k in _int_keys else float(v))
                 for k, v in counters.items()}
     return state, counters

@@ -157,24 +157,24 @@ def test_registry_unknown():
 
 
 def test_item_gt_mask_depth_sampling(scene_dir):
-    """gt_mask / gt_depth are sampled at the item's pixel coords when the
-    depth/bg loss items are enabled, and absent otherwise (batch pytree
-    stability)."""
+    """gt_mask is sampled at the item's pixel coords when the bg loss items
+    are enabled, and absent otherwise (batch pytree stability). Datasets
+    whose self.depths are alpha masks (nerf_synth360_ft) must REJECT
+    depth_loss_items instead of silently supervising depth toward mask
+    values."""
     opt = make_opt(scene_dir)
     ds = create_dataset(opt, split="train")
     item = ds.get_item(0, rng=np.random.RandomState(0))
     assert "gt_mask" not in item and "gt_depth" not in item
 
     opt2 = make_opt(scene_dir,
-                    depth_loss_items=("coarse_depth",),
-                    depth_loss_weights=(0.1,),
                     bg_loss_items=("coarse_is_background",),
                     bg_loss_weights=(0.1,))
     ds2 = create_dataset(opt2, split="train")
     it2 = ds2.get_item(0, rng=np.random.RandomState(0))
     R = it2["raydir"].shape[1]
     assert it2["gt_mask"].shape == (1, R)
-    assert it2["gt_depth"].shape == (1, R)
+    assert "gt_depth" not in it2
     # mask values come from the alpha channel at the sampled pixels
     px = it2["pixel_idx"].reshape(-1, 2).astype(np.int64)
     want = (ds2.alphas[0][px[:, 1], px[:, 0]] > 0.5).astype(np.float32)
@@ -183,3 +183,36 @@ def test_item_gt_mask_depth_sampling(scene_dir):
     full = ds2.get_item(0, rng=np.random.RandomState(0), full_img=True)
     ch, _, _ = next(iter(chunks_of_item(full, 64)))
     assert ch["gt_mask"].shape == (1, 64)
+
+    # nerf_synth360's depths are binary alpha masks, not metric depth
+    opt3 = make_opt(scene_dir,
+                    depth_loss_items=("coarse_depth",),
+                    depth_loss_weights=(0.1,))
+    ds3 = create_dataset(opt3, split="train")
+    with pytest.raises(ValueError, match="metric"):
+        ds3.get_item(0, rng=np.random.RandomState(0))
+
+
+def test_dataset_import_error_surfaces(monkeypatch):
+    """A genuine ImportError inside the dataset module the caller asked for
+    re-raises with its own traceback instead of 'unknown dataset'; an
+    ImportError in a SIBLING dataset stays non-fatal."""
+    import importlib
+    real = importlib.import_module
+
+    def broken(name, package=None):
+        if name.endswith("scannet_ft"):
+            raise ImportError("No module named 'definitely_not_installed'")
+        return real(name, package)
+
+    monkeypatch.setattr(importlib, "import_module", broken)
+    import pointnerf_tpu.data as D
+    saved = dict(D._REGISTRY)
+    D._REGISTRY.pop("scannet_ft", None)
+    try:
+        with pytest.raises(ImportError, match="definitely_not_installed"):
+            find_dataset_class_by_name("scannet_ft")
+        # sibling failure stays non-fatal for other dataset names
+        assert find_dataset_class_by_name("nerf_synth360_ft") is not None
+    finally:
+        D._REGISTRY.update(saved)

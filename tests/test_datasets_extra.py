@@ -110,6 +110,40 @@ def test_llff_dataset(tmp_path):
     assert np.linalg.norm(centers.mean(0)) < 0.5
 
 
+def test_scannet_metric_depth_supervision(tmp_path):
+    """With --depth_loss_items, ScanNet loads REAL sensor z-depth (meters)
+    into gt_depth — not the all-ones placeholder — and it matches the
+    fixture's analytic camera-z of the plate."""
+    make_scannet_scene(str(tmp_path), n=10, wh=(40, 30))
+    opt = Options(data_root=str(tmp_path), scan="scene0101_04",
+                  dataset_name="scannet_ft", img_wh=(40, 30),
+                  random_sample="random", random_sample_size=6,
+                  near_plane=0.1, far_plane=8.0, bg_color="black",
+                  ranges=(-100.0,) * 3 + (100.0,) * 3, test_num_step=5,
+                  depth_loss_items=("coarse_depth",),
+                  depth_loss_weights=(0.1,))
+    ds = create_dataset(opt, split="train")
+    assert getattr(ds, "has_metric_depth", False)
+    item = ds.get_item(0, full_img=True)
+    d = item["gt_depth"].reshape(30, 40)
+    hit = d > 0
+    assert hit.any()
+    # plate sits at z=0, cameras ~2.5 away: metric depth, not mask values
+    assert 1.0 < float(np.median(d[hit])) < 4.0
+    # analytic check at the exact pixels: reconstruct camera z from the pose
+    i = ds.id_list[0]
+    c2w = ds.cam2worlds[0]
+    W, H, focal = 40, 30, 35.0
+    px, py = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    d_cam = np.stack([(px - W / 2) / focal, (py - H / 2) / focal,
+                      np.ones_like(px)], -1)
+    d_w = d_cam @ c2w[:3, :3].T
+    t = (0.0 - c2w[2, 3]) / d_w[..., 2]
+    want = np.where(hit, t, 0.0)
+    np.testing.assert_allclose(d[hit], want[hit], atol=2e-3)
+
+
 def test_train_ft_on_scannet_depth_init(tmp_path):
     """Cross-dataset E2E: the finetune driver runs on ScanNet with
     load_points=2 (sensor-depth backprojection init)."""

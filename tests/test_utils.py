@@ -216,3 +216,44 @@ def test_plateau_tracker_matches_torch():
             lr_ours *= tracker.factor
         assert abs(opt_t.param_groups[0]["lr"] - lr_ours) < 1e-9, i
     assert lr_ours < 1.0  # the plateau actually triggered reductions
+
+
+def test_plateau_tracker_max_mode_fires_on_flat_psnr():
+    """The driver tracks held-out PSNR with mode='max'. A flat or declining
+    PSNR sequence must fire reductions (the old negated-PSNR-into-min-mode
+    formulation fired ZERO: for negative metrics best*(1-thr) > best, so
+    every eval counted as improvement). Parity vs torch mode='max'."""
+    import torch
+    from pointnerf_tpu.models.networks import PlateauTracker
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt_t = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt_t, mode="max", factor=0.2, threshold=0.01, patience=5)
+    tracker = PlateauTracker(mode="max")
+
+    fires = 0
+    psnr, lr_ours = 25.0, 1.0
+    for i in range(60):
+        # rising phase, then flat, then gently declining
+        if i < 10:
+            psnr += 0.5
+        elif i >= 40:
+            psnr -= 0.05
+        sched.step(psnr)
+        if tracker.update(psnr):
+            lr_ours *= tracker.factor
+            fires += 1
+        assert abs(opt_t.param_groups[0]["lr"] - lr_ours) < 1e-9, i
+    assert fires >= 2  # flat AND declining phases both fired
+
+    # regression: 40 flat evals through min-mode on a negated score fire 0 —
+    # the exact silent no-op the driver used to hit
+    broken = PlateauTracker(mode="min")
+    assert not any(broken.update(-30.0) for _ in range(40))
+
+    # state round-trip (checkpoint resume)
+    d = tracker.state_dict()
+    t2 = PlateauTracker(mode="max")
+    t2.load_state_dict(d)
+    assert t2.best == tracker.best and t2.num_bad == tracker.num_bad
