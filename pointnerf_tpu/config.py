@@ -319,7 +319,11 @@ _SUPPORTED_VALUES = {
     "NN": (2, -1),                         # 2: world-coord KNN (frustum =
                                            # wcoord_query 0); -1: 8-corner
                                            # vox-grid query (ops/voxgrid.py)
-    "normview": (0,),
+    "normview": (0, 1),                    # 1: re-express poses in the first
+                                           # test cam's frame (nerf_synth_ft);
+                                           # 2 (norm mats kept for the model's
+                                           # query embedding) has no consumer
+                                           # here — per-point Rw2c covers it
     "alpha_range": (0,),
     "modulator_concat": (0,),
     "num_hyperfeat_freqs": (0,),

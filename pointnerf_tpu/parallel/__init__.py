@@ -18,10 +18,12 @@ from .mesh import make_mesh, replicate, shard_batch, batch_pspec
 from .dp import make_dp_train_step, make_dp_eval_step
 from .points import (make_mp_train_step, make_mp_eval_step, shard_state,
                      shard_grid, state_shardings, grid_shardings)
+from .driver import MeshRunner, make_runner
 
 __all__ = [
     "make_mesh", "replicate", "shard_batch", "batch_pspec",
     "make_dp_train_step", "make_dp_eval_step",
     "make_mp_train_step", "make_mp_eval_step", "shard_state", "shard_grid",
     "state_shardings", "grid_shardings",
+    "MeshRunner", "make_runner",
 ]

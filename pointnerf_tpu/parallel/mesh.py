@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # (campos [B,3], camrotc2w [B,3,3], near/far scalars, bg_color) is per-camera or
 # scalar and shards only over "batch".
 RAY_AXIS_KEYS = frozenset({
-    "raydir", "gt_image", "pixel_idx", "bg_ray",
+    "raydir", "gt_image", "pixel_idx", "bg_ray", "gt_mask", "gt_depth",
 })
 PER_CAMERA_KEYS = frozenset({
     "campos", "camrotc2w", "intrinsic", "bg_color",
@@ -53,14 +53,20 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, axis_names=("batch", "rays"))
 
 
-def batch_pspec(batch: Dict) -> Dict:
-    """PartitionSpec tree for a render/train batch."""
+def batch_pspec(batch: Dict, leading: int = 0) -> Dict:
+    """PartitionSpec tree for a render/train batch.
+
+    ``leading`` prepends that many unsharded axes — used for the stacked
+    [S, B, R, ...] batches of trainer.train_steps_scan (the scan axis is
+    sequential time, never sharded)."""
+    pre = (None,) * leading
     specs = {}
     for k, v in batch.items():
-        if k in RAY_AXIS_KEYS:
-            specs[k] = P("batch", "rays")
-        elif k in PER_CAMERA_KEYS and getattr(v, "ndim", 0) >= 1:
-            specs[k] = P("batch")
+        nd = getattr(v, "ndim", 0)
+        if k in RAY_AXIS_KEYS and nd >= leading + 2:
+            specs[k] = P(*pre, "batch", "rays")
+        elif k in PER_CAMERA_KEYS and nd >= leading + 1:
+            specs[k] = P(*pre, "batch")
         else:
             specs[k] = P()
     return specs

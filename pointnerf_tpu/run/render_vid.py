@@ -25,12 +25,12 @@ from .common import (init_point_state_from_dataset, make_spec_and_grid,
 
 
 def render_vid(ts, grid, opt, spec, dataset, visualizer, total_steps: int = 0,
-               fps: int = 24) -> Dict:
+               fps: int = 24, mesh=None) -> Dict:
     frames = []
     for i in range(len(dataset)):
         item = dataset.get_dummyrot_item(i)
         maps = render_image(ts, grid, opt.replace(random_sample="no_crop"),
-                            spec, item, keys=("coarse_raycolor",))
+                            spec, item, keys=("coarse_raycolor",), mesh=mesh)
         img = maps["coarse_raycolor"]
         visualizer.display_current_results({"coarse_raycolor": img}, i,
                                            subdir=f"vid_{total_steps}")
@@ -63,7 +63,15 @@ def main(opt: Options) -> Dict:
         template = trainer.expand_capacity(template, cap)
         ts, _ = load_checkpoint(ckpt_dir, template, step=found)
     spec, grid = make_spec_and_grid(opt, trainer.point_state_of(ts))
-    return render_vid(ts, grid, opt, spec, render_ds, visualizer, found)
+    from ..parallel import make_runner
+    runner = make_runner(opt)
+    mesh = None
+    if runner is not None:
+        ts = runner.place_state(ts)
+        grid = runner.place_grid(grid, spec)
+        mesh = runner.mesh
+    return render_vid(ts, grid, opt, spec, render_ds, visualizer, found,
+                      mesh=mesh)
 
 
 if __name__ == "__main__":

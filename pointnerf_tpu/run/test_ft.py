@@ -53,11 +53,20 @@ def main(opt: Options) -> Dict:
         ts, counters = load_checkpoint(ckpt_dir, template, step=found)
 
     spec, grid = make_spec_and_grid(opt, trainer.point_state_of(ts))
+    # --n_devices / --gpu_ids: SPMD serving over a device mesh
+    from ..parallel import make_runner
+    runner = make_runner(opt)
+    mesh = None
+    if runner is not None:
+        ts = runner.place_state(ts)
+        grid = runner.place_grid(grid, spec)
+        mesh = runner.mesh
     visualizer.print_details(
         f"loaded step {found} (best_PSNR {counters.get('best_PSNR', 0):.3f})")
 
     mean_psnr = test(ts, grid, opt, spec, test_ds, visualizer, found,
-                     max_images=opt.test_num if opt.test_num > 0 else None)
+                     max_images=opt.test_num if opt.test_num > 0 else None,
+                     mesh=mesh)
     img_dir = os.path.join(visualizer.image_dir, f"test_{found}")
     metric_names = ["psnr", "ssim", "rmse", "lpips", "vgglpips"]
     scores = report_metrics(

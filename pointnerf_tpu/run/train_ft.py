@@ -55,9 +55,10 @@ def bloat_mask(mask: np.ndarray, shift: int = 1) -> np.ndarray:
 
 
 def probe_hole(ts, grid, opt, spec, dataset, frame_ids, visualizer,
-               total_steps: int) -> Dict[str, np.ndarray]:
+               total_steps: int, runner=None) -> Dict[str, np.ndarray]:
     """Find ray-miss holes and collect new point candidates
-    (reference: train_ft.py:417-530)."""
+    (reference: train_ft.py:417-530). Under a mesh runner the enlarged
+    probe grid is placed on the mesh and the prob renders run SPMD."""
     # tiered query-size enlargement (reference :425-430)
     probe_opt = opt
     if len(opt.prob_kernel_size) >= 3:
@@ -75,13 +76,16 @@ def probe_hole(ts, grid, opt, spec, dataset, frame_ids, visualizer,
     pspec = make_grid_spec(probe_opt, points_min=xyz_np.min(0),
                            points_max=xyz_np.max(0), max_points=int(mask.sum()))
     pgrid = build_grid(pstate["xyz"], pstate["mask"], pspec)
+    if runner is not None:
+        pgrid = runner.place_grid(pgrid, pspec)
 
     cand: Dict[str, list] = {k: [] for k in
                              ("xyz", "embedding", "color", "dir", "conf")}
     for fid in frame_ids:
         item = dataset.get_item(int(fid), full_img=True)
         maps = render_image(ts, pgrid, probe_opt, pspec, item, prob=True,
-                            keys=PROBE_KEYS)
+                            keys=PROBE_KEYS,
+                            mesh=None if runner is None else runner.mesh)
         H, W = int(item["h"]), int(item["w"])
         gt = item["gt_image"][0].reshape(H, W, 3)
         bg = item["bg_color"][0]
@@ -183,7 +187,7 @@ def _visual_maps(opt, maps, gt):
 
 def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
          max_images: Optional[int] = None, write_images: bool = True,
-         bg_maps=None) -> float:
+         bg_maps=None, mesh=None) -> float:
     """Render the held-out split, PSNR per image (reference: train_ft.py:252-414)."""
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     psnrs = []
@@ -194,7 +198,8 @@ def test(ts, grid, opt, spec, dataset, visualizer, total_steps: int,
             pix = item["pixel_idx"][0].astype(np.int64)
             item["bg_ray"] = bg_maps[i][pix[:, 1], pix[:, 0]][None]
         maps = render_image(ts, grid, opt.replace(random_sample="no_crop"),
-                            spec, item, keys=("coarse_raycolor", "ray_mask"))
+                            spec, item, keys=("coarse_raycolor", "ray_mask"),
+                            mesh=mesh)
         H, W = int(item["h"]), int(item["w"])
         gt = item["gt_image"][0].reshape(H, W, 3)
         img = maps["coarse_raycolor"]
@@ -223,6 +228,11 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         print(opt.to_json())
     key = jax.random.PRNGKey(opt.seed)
     rng = np.random.RandomState(opt.seed)
+    # --n_devices / --gpu_ids: SPMD over a device mesh (the reference's
+    # DataParallel flag, models/neural_points_volumetric_model.py:165-168)
+    from ..parallel import make_runner
+    runner = make_runner(opt)
+    mesh = None if runner is None else runner.mesh
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.experiment)
     os.makedirs(ckpt_dir, exist_ok=True)
     with open(os.path.join(ckpt_dir, "opt.json"), "w") as f:
@@ -299,6 +309,13 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
             plateau.load_state_dict(counters)
         visualizer.print_details(f"resumed at step {total_steps}")
     spec, grid = make_spec_and_grid(opt, trainer.point_state_of(ts))
+    if runner is not None:
+        ts = runner.place_state(ts)
+        grid = runner.place_grid(grid, spec)
+        visualizer.print_details(
+            f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+            f"{runner.n_devices} devices"
+            + (" (point buffers sharded)" if runner.points > 1 else ""))
 
     n_active = int(npc.num_active(trainer.point_state_of(ts)))
     visualizer.print_details(
@@ -334,9 +351,14 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         # ------------------------------------------------ prune (reference :834-842)
         if opt.prune_iter > 0 and 0 < total_steps <= opt.prune_max_iter \
                 and total_steps % opt.prune_iter == 0:
+            if runner is not None:   # gather -> host rebuild -> reshard
+                ts = runner.gather_state(ts)
             before = int(npc.num_active(trainer.point_state_of(ts)))
             ts = prune_points(ts, opt)
             grid = trainer.rebuild_grid(ts, spec)
+            if runner is not None:
+                ts = runner.place_state(ts)
+                grid = runner.place_grid(grid, spec)
             after = int(npc.num_active(trainer.point_state_of(ts)))
             visualizer.print_details(
                 f"prune at {total_steps}: {before} -> {after} points")
@@ -360,11 +382,16 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 else:
                     frame_ids = rng.permutation(len(train_ds))[:num_probe]
                 cand = probe_hole(ts, grid, opt, spec, probe_ds, frame_ids,
-                                  visualizer, total_steps)
+                                  visualizer, total_steps, runner=runner)
                 if cand:
+                    if runner is not None:
+                        ts = runner.gather_state(ts)
                     before = int(npc.num_active(trainer.point_state_of(ts)))
                     ts, dropped = grow_from_candidates(ts, opt, cand)
                     grid = trainer.rebuild_grid(ts, spec)
+                    if runner is not None:
+                        ts = runner.place_state(ts)
+                        grid = runner.place_grid(grid, spec)
                     after = int(npc.num_active(trainer.point_state_of(ts)))
                     visualizer.print_details(
                         f"grow at {total_steps}: {before} -> {after} points"
@@ -396,13 +423,22 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         with timer.phase("device_step"):
             if chunk == 1:
                 batch = {k: jnp.asarray(host_items[0][k]) for k in batch_keys}
-                ts, items = trainer.train_step(ts, grid, batch, key, opt, spec)
+                if runner is not None:
+                    ts, items = runner.train_step(ts, grid, batch, key, opt,
+                                                  spec)
+                else:
+                    ts, items = trainer.train_step(ts, grid, batch, key, opt,
+                                                   spec)
                 step_items = [items]
             else:
                 batches = {k: jnp.asarray(np.stack([it[k] for it in host_items]))
                            for k in batch_keys}
-                ts, items_s = trainer.train_steps_scan(ts, grid, batches, key,
-                                                       opt, spec)
+                if runner is not None:
+                    ts, items_s = runner.train_steps_scan(ts, grid, batches,
+                                                          key, opt, spec)
+                else:
+                    ts, items_s = trainer.train_steps_scan(ts, grid, batches,
+                                                           key, opt, spec)
                 items_np = {k: np.asarray(v) for k, v in items_s.items()}
                 step_items = [{k: v[s] for k, v in items_np.items()}
                               for s in range(chunk)]
@@ -411,6 +447,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         if opt.grid_rebuild_every > 0 and opt.xyz_grad > 0 and \
                 total_steps % opt.grid_rebuild_every == 0:
             grid = trainer.rebuild_grid(ts, spec)
+            if runner is not None:
+                grid = runner.place_grid(grid, spec)
 
         miss_key = "loss_ray_miss_coarse_raycolor"
         for fid, items in zip(fids, step_items):
@@ -462,7 +500,7 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
                             best_iter, extra_counters=extra_counters())
         if opt.test_freq > 0 and total_steps % opt.test_freq == 0:
             cur = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
-                       max_images=opt.test_num, bg_maps=bg_test)
+                       max_images=opt.test_num, bg_maps=bg_test, mesh=mesh)
             if cur > best_psnr:
                 best_psnr, best_iter = cur, total_steps
             if plateau is not None and plateau.update(cur):
@@ -481,7 +519,7 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
     save_checkpoint(ckpt_dir, total_steps, ts, opt, best_psnr, best_iter,
                     extra_counters=extra_counters())
     final_psnr = test(ts, grid, opt, spec, test_ds, visualizer, total_steps,
-                      bg_maps=bg_test)
+                      bg_maps=bg_test, mesh=mesh)
     if final_psnr > best_psnr:
         best_psnr, best_iter = final_psnr, total_steps
     visualizer.print_details(
@@ -498,7 +536,8 @@ def main(opt: Options, max_steps: Optional[int] = None) -> Dict:
         try:
             from .render_vid import render_vid
             render_ds = create_dataset(opt, split="render")
-            render_vid(ts, grid, opt, spec, render_ds, visualizer, total_steps)
+            render_vid(ts, grid, opt, spec, render_ds, visualizer, total_steps,
+                       mesh=mesh)
         except Exception as e:  # dataset may not define a render path
             visualizer.print_details(f"gen_vid skipped: {e}")
     return {"total_steps": total_steps, "final_psnr": final_psnr,

@@ -59,6 +59,66 @@ def main():
     opt, state, spec, grid, ts, batch = make_workload(
         random_sample_size=rss, superset_P=args.superset_P)
 
+    def audit_collectives(compiled, grid, state_tree):
+        """Parse the partitioned HLO: count + size every collective, and
+        flag any all-gather big enough to be a per-step re-replication of a
+        point-axis table (VERDICT r3 item 4 / SURVEY §2.2). Also record the
+        compiler's per-device memory analysis."""
+        import re
+        dt_bytes = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4,
+                    "u32": 4, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                    "s8": 1, "u8": 1, "pred": 1}
+        text = compiled.as_text()
+        ops = {}
+        biggest = []
+        pat = re.compile(
+            r"= (?:\()?(\w+)\[([0-9,]*)\][^=]*?"
+            r"(all-gather|all-reduce|reduce-scatter|collective-permute|"
+            r"all-to-all)")
+        for m in pat.finditer(text):
+            dt, dims, kind = m.group(1), m.group(2), m.group(3)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes = n * dt_bytes.get(dt, 4)
+            rec = ops.setdefault(kind, {"count": 0, "total_mib": 0.0})
+            rec["count"] += 1
+            rec["total_mib"] += nbytes / 2**20
+            biggest.append((nbytes, kind, f"{dt}[{dims}]"))
+        for rec in ops.values():
+            rec["total_mib"] = round(rec["total_mib"], 2)
+        biggest.sort(reverse=True)
+        # would a full point-table re-replication hide in these gathers?
+        table_mib = {k: v.nbytes / 2**20 for k, v in grid.items()
+                     if hasattr(v, "nbytes") and getattr(v, "ndim", 0) >= 1
+                     and v.shape[0] == spec.max_o}
+        big_tables = {k: round(v, 1) for k, v in table_mib.items() if v > 8}
+        gather_mib = ops.get("all-gather", {}).get("total_mib", 0.0)
+        replicates_tables = any(gather_mib >= 0.5 * v
+                                for v in big_tables.values())
+        mem = {}
+        try:
+            ma = compiled.memory_analysis()
+            for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
+                         "output_size_in_bytes", "alias_size_in_bytes",
+                         "generated_code_size_in_bytes"):
+                v = getattr(ma, attr, None)
+                if v is not None:
+                    mem[attr.replace("_in_bytes", "_mib")] = round(v / 2**20, 1)
+        except Exception as e:  # backend may not implement it
+            mem["error"] = str(e)
+        return {
+            "collectives": ops,
+            "largest_collectives": [
+                {"kind": k, "shape": s, "mib": round(b / 2**20, 2)}
+                for b, k, s in biggest[:5]],
+            "point_tables_mib": big_tables,
+            "allgather_total_mib_per_step": round(gather_mib, 2),
+            "replicates_point_tables_per_step": bool(replicates_tables),
+            "per_device_memory_analysis": mem,
+        }
+
     # single-device reference loss first (numeric agreement check)
     key = jax.random.PRNGKey(1)
     _, items1 = trainer.train_step(ts, grid, batch, key, opt, spec)
@@ -71,6 +131,10 @@ def main():
     ts_sh = shard_state(ts, mesh)
     grid_sh = shard_grid(grid, spec, mesh)
     key_sh = replicate(key, mesh)
+
+    lowered = step.lower(ts_sh, grid_sh, batch_sh, key_sh)
+    compiled = lowered.compile()
+    audit = audit_collectives(compiled, grid, ts)
 
     t0 = time.time()
     new_ts, items0 = step(ts_sh, grid_sh, batch_sh, key_sh)
@@ -118,6 +182,7 @@ def main():
         "loss_mesh": round(mp_loss, 6),
         "loss_match": bool(abs(ref_loss - mp_loss) < 1e-3 * max(1.0, abs(ref_loss))),
         "sharded_buffers": sharded,
+        "collective_audit": audit,
     }
     print(json.dumps(out, indent=1))
     with open("MULTICHIP_BENCH.json", "w") as f:

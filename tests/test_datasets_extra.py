@@ -202,3 +202,101 @@ def test_llff_render_split_spiral_path():
     assert item.get("gt_image") is None
     assert np.isfinite(item["raydir"]).all()
     assert item["raydir"].shape == (1, 40 * 30, 3)
+
+
+# --------------------------------------------------- legacy nerf_synth (non-360)
+def _write_legacy_configs(root, scan="plate", n_ref=4, n_extra=2, n_test=3):
+    """Curated pairs files in the reference's format: the pairs txt
+    (nerf_synth_ft_dataset.py:278-293) + the pairs.th split table (:296)."""
+    import torch
+    lst_dir = os.path.join(root, "nerf_synth_configs", "list")
+    os.makedirs(lst_dir, exist_ok=True)
+    refs = list(range(n_ref))
+    lines = [f"{n_ref},{n_ref + n_extra}"]
+    for i in range(n_ref + n_extra):
+        ref = refs[i % n_ref]
+        srcs = [refs[(i + 1) % n_ref], refs[(i + 2) % n_ref]]
+        lines += [str(ref), ",".join(map(str, srcs))]
+    with open(os.path.join(lst_dir, f"{scan}_finetune_init_pairs_final.txt"),
+              "w") as f:
+        f.write("\n".join(lines) + "\n")
+    cfg_dir = os.path.join(root, "dtu_configs")
+    os.makedirs(cfg_dir, exist_ok=True)
+    torch.save({f"{scan}_test": list(range(n_ref, n_ref + n_test)),
+                f"{scan}_val": [n_ref]}, os.path.join(cfg_dir, "pairs.th"))
+
+
+def test_nerf_synth_ft_legacy_dataset(tmp_path):
+    """The legacy non-360 variant (reference data/nerf_synth_ft_dataset.py):
+    pairs-file view groups, test ids indexing TRAIN frames, fixed [2,6]
+    near/far, blender-raydir render path."""
+    from fixtures import make_nerf_synth_scene
+    root = str(tmp_path)
+    make_nerf_synth_scene(root, wh=(40, 40), n_train=12)
+    _write_legacy_configs(root)
+    opt = Options(data_root=root, scan="plate", dataset_name="nerf_synth_ft",
+                  img_wh=(40, 40), random_sample="random",
+                  random_sample_size=6, near_plane=2.0, far_plane=4.5,
+                  bg_color="white")
+
+    ds = create_dataset(opt, split="train")
+    assert ds.id_list == [0, 1, 2, 3]          # refs from the pairs txt
+    assert len(ds.view_id_list) == 6           # incl. 2 extra init groups
+    assert ds.view_id_list[0] == [0, 1, 2]     # remapped to positions
+    # items carry the fixed blender range, NOT the CLI planes (reference :497)
+    item = ds.get_item(0, full_img=True)
+    assert float(item["near"]) == 2.0 and float(item["far"]) == 6.0
+    check_center_ray_hits_plate(item)
+    init = ds.get_init_item(4)                 # an extra (non-ref) group
+    assert init["images"].shape == (3, 3, 40, 40)
+    assert init["proj_mats"].shape == (3, 3, 3, 4)
+    np.testing.assert_allclose(init["near_fars"], [[2, 6]] * 3)
+
+    # test split: ids 4,5,6 of the TRAIN transforms (reference :296)
+    ds_t = create_dataset(opt, split="test")
+    assert ds_t.id_list == [4, 5, 6]
+    with open(os.path.join(root, "plate", "transforms_train.json")) as f:
+        import json
+        train_meta = json.load(f)
+    expected = np.array(train_meta["frames"][4]["transform_matrix"])
+    np.testing.assert_allclose(ds_t.cam2worlds[0, :3, 3],
+                               expected[:3, 3], atol=1e-6)
+
+    # render path: blender focal raydir (reference :643) — center pixel looks
+    # along -z_cam = camera forward
+    ds_r = create_dataset(opt, split="render")
+    item_r = ds_r.get_dummyrot_item(0)
+    assert "gt_image" not in item_r
+    R = item_r["raydir"].shape[1]
+    side = int(np.sqrt(R))
+    center = item_r["raydir"][0][R // 2 + side // 2]
+    fwd = -ds_r.render_poses[0][:3, 2]
+    assert np.dot(center / np.linalg.norm(center), fwd) > 0.99
+
+
+def test_nerf_synth_ft_fallback_and_normview(tmp_path):
+    """Without the curated lists the dataset still loads (hull triplets,
+    testskip); --normview 1 re-expresses all poses in the first test cam's
+    frame (reference :119-126, normalize_cam :236-256)."""
+    from fixtures import make_nerf_synth_scene
+    root = str(tmp_path)
+    make_nerf_synth_scene(root, wh=(40, 40), n_train=8)
+    opt = Options(data_root=root, scan="plate", dataset_name="nerf_synth_ft",
+                  img_wh=(40, 40), random_sample="random",
+                  random_sample_size=6, bg_color="white", testskip=2)
+    ds = create_dataset(opt, split="train")
+    assert ds.id_list == list(range(8))
+    assert len(ds.view_id_list) >= 2           # hull triplets fallback
+    ds_t = create_dataset(opt, split="test")
+    assert ds_t.id_list == [0, 2, 4, 6]
+
+    dsn = create_dataset(opt.replace(normview=1), split="train")
+    # frame 0 is the norm camera (no pairs.th -> first train frame): its
+    # normalized pose must be the identity
+    np.testing.assert_allclose(dsn.cam2worlds[0], np.eye(4), atol=1e-5)
+    # relative geometry is preserved: pairwise camera distances unchanged
+    d0 = np.linalg.norm(ds.cam2worlds[:, :3, 3][:, None]
+                        - ds.cam2worlds[:, :3, 3][None], axis=-1)
+    d1 = np.linalg.norm(dsn.cam2worlds[:, :3, 3][:, None]
+                        - dsn.cam2worlds[:, :3, 3][None], axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
