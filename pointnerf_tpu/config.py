@@ -268,6 +268,12 @@ class Options:
                                            # when the aggregator config qualifies
                                            # (fused_trunk_ok); 0 = off; 1 = force (asserts
                                            # the config, interpret-mode on CPU — slow).
+    trunk_dtype: str = "float32"           # MXU operand dtype INSIDE the fused trunk.
+                                           # "bfloat16" (f32 accumulate) measured ZERO
+                                           # speedup at bench shapes — the kernel is
+                                           # MXU-pass/pipeline-bound, not dtype-rate-
+                                           # bound (BASELINE.md round 4) — so full
+                                           # precision stays the default.
                                            # Bench A/B at lego shapes: 60.0k -> 72.2k rays/s.
     seed: int = 0
 
@@ -314,6 +320,7 @@ class Options:
 # layer rejects it loudly instead (round-1 review: "no flag parses that has
 # no effect").
 _SUPPORTED_VALUES = {
+    "trunk_dtype": ("bfloat16", "float32"),
     "which_agg_model": ("viewmlp",),       # the only aggregator any dev_script uses
     "apply_pnt_mask": (1,),                # mask always applied (padded buffers)
     "NN": (2, -1),                         # 2: world-coord KNN (frustum =

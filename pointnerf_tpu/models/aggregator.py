@@ -363,11 +363,16 @@ def aggregator_forward(params: Dict, opt,
             # the kernel also applies raw2out_density per neighbor and does
             # the weighted K-aggregation in VMEM: outputs are per shading
             # point ([S/K, ...]), so per-neighbor activations never hit HBM
+            # bf16 MXU operands (f32 accumulate, PE projections f32) are
+            # supported but measured a no-op at bench shapes (BASELINE.md
+            # round 4) — the kernel is pass-bound, so f32 is the default
+            bf16 = getattr(opt, "trunk_dtype", "float32") == "bfloat16" \
+                and not interp
             feat_pt, alpha = fused_trunk(
                 opt.shading_feature_mlp_layer1,
                 opt.shading_feature_mlp_layer3,
                 opt.num_feat_freqs, abs(opt.dist_xyz_freq),
-                K, opt.act_super > 0, 512, interp,
+                K, opt.act_super > 0, 512, interp, bf16,
                 sampled_embedding.reshape(-1, Fd),
                 d_raw.reshape(-1, ddc), ex3,
                 w_eff.reshape(-1, 1), ops)

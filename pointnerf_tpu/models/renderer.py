@@ -92,7 +92,7 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
     gen = raygen.find_ray_generation_method(
         "near_far_disparity_linear" if opt.inverse > 0 else "near_far_linear")
     jitter = 0.3 if is_train else 0.0
-    raypos, _, _, _ = gen(campos, raydir, opt.z_depth_dim,
+    _, _, _, mid_ts = gen(campos, raydir, opt.z_depth_dim,
                           near=batch["near"], far=batch["far"],
                           jitter=jitter, key=key)
 
@@ -107,14 +107,16 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
         # (K=1 below just minimizes the discarded KNN work)
         from ..ops.voxgrid import query_vox_grid
         _, sample_loc_w, ray_mask, q_overflow, _ = query_grid_points(
-            raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
+            campos, raydir, mid_ts,
+            jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
             SR=opt.SR, K=1, Nc=0)
         sample_pidx = query_vox_grid(sample_loc_w, grid["vox_table"], spec)
         return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
                         ray_mask, None, q_overflow, None)
     Nc = effective_sr_budget(opt, B * R * opt.SR) if not prob else 0
     sample_pidx, sample_loc_w, ray_mask, q_overflow, comp = query_grid_points(
-        raypos, jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
+        campos, raydir, mid_ts,
+        jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
         SR=opt.SR, K=opt.K, Nc=Nc)
     return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
                     ray_mask, None, q_overflow, comp)

@@ -99,31 +99,42 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3):
-    """Forward chain on one VMEM tile; returns intermediates for the bwd."""
+def _dot_bf16(a, b):
+    """MXU dot with bf16 operands, f32 accumulate (mixed precision: the MXU
+    runs bf16 at ~2x its f32 pass rate; accumulation stays f32 so the chain
+    keeps f32 dynamic range — the standard bf16-matmul recipe)."""
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot):
+    """Forward chain on one VMEM tile; returns intermediates for the bwd.
+
+    The PE projections (t_e/t_d) always run f32: their outputs feed sin/cos
+    where bf16's ~3-digit mantissa would alias high frequencies."""
     w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
         ops, L1, L3)
     t_e = _dot(emb, Se) + pe
     t_d = _dot(d, Sd) + pd
     pe_e = jnp.sin(t_e)
     pe_d = jnp.sin(t_d)
-    z1 = _dot(emb, w1e) + _dot(pe_e, w1p) + _dot(pe_d, w1d) + b1
+    z1 = dot(emb, w1e) + dot(pe_e, w1p) + dot(pe_d, w1d) + b1
     hs = [_leaky(z1)]
     zs1 = [z1]
     for (w, b) in extra1:
-        z = _dot(hs[-1], w) + b
+        z = dot(hs[-1], w) + b
         zs1.append(z)
         hs.append(_leaky(z))
     h = hs[-1]
-    z3 = _dot(h, w3x) + _dot(ex3, w3e) + b3
+    z3 = dot(h, w3x) + dot(ex3, w3e) + b3
     gs = [_leaky(z3)]
     zs3 = [z3]
     for (w, b) in extra3:
-        z = _dot(gs[-1], w) + b
+        z = dot(gs[-1], w) + b
         zs3.append(z)
         gs.append(_leaky(z))
     g = gs[-1]
-    za = _dot(g, wa) + ba
+    za = dot(g, wa) + ba
     return t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za
 
 
@@ -143,14 +154,15 @@ def _group_sum(x, K):
     return jnp.sum(x.reshape(T // K, K, C), axis=1)
 
 
-def _fwd_kernel(L1, L3, K, act_super,
+def _fwd_kernel(L1, L3, K, act_super, bf16,
                 emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
                 pd_ref, *rest):
     n_ops = len(rest) - 2
     ops = [r[:] for r in rest[:n_ops]]
     feat_ref, alpha_ref = rest[n_ops:]
     *_, g, za = _fwd_tile(emb_ref[:], d_ref[:], ex3_ref[:], ops,
-                          Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:], L1, L3)
+                          Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:], L1, L3,
+                          dot=_dot_bf16 if bf16 else _dot)
     w = w_ref[:]                                  # [T,1] neighbor weights
     # per-neighbor density activation BEFORE the weighted K-sum (reference
     # agg_intrp_order==2, point_aggregators.py:601-639), then aggregate the
@@ -160,7 +172,7 @@ def _fwd_kernel(L1, L3, K, act_super,
     alpha_ref[:] = _group_sum(_alpha_act(za, act_super) * w, K)
 
 
-def _bwd_kernel(L1, L3, K, act_super,
+def _bwd_kernel(L1, L3, K, act_super, bf16,
                 emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
                 pd_ref, *rest):
     """Recompute forward per tile, backprop; dW accumulate across grid."""
@@ -172,12 +184,13 @@ def _bwd_kernel(L1, L3, K, act_super,
     demb_ref, dd_ref, dex3_ref, dw_ref = rest[n_ops + 2: n_ops + 6]
     dops_refs = rest[n_ops + 6:]
     assert len(dops_refs) == n_ops, (len(dops_refs), n_ops)
+    _dot = _dot_bf16 if bf16 else globals()["_dot"]
 
     emb, d, ex3, w = emb_ref[:], d_ref[:], ex3_ref[:], w_ref[:]
     w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
         ops, L1, L3)
     t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za = _fwd_tile(
-        emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3)
+        emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot)
 
     # un-group the shading-point cotangents to neighbor rows
     T = emb.shape[0]
@@ -266,9 +279,11 @@ def _pad_rows(x, T):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
                 K: int, act_super: bool, tile: int, interpret: bool,
+                bf16: bool,
                 emb: jnp.ndarray, d: jnp.ndarray, ex3: jnp.ndarray,
                 w: jnp.ndarray, ops: Sequence[jnp.ndarray]
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -279,10 +294,10 @@ def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
     — the K-reduction happens inside the kernel, so per-neighbor features
     never reach HBM."""
     return _fused_fwd_impl(L1, L3, n_feat_freqs, n_dist_freqs, K, act_super,
-                           tile, interpret, emb, d, ex3, w, ops)
+                           tile, interpret, bf16, emb, d, ex3, w, ops)
 
 
-def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
+def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
                     emb, d, ex3, w, ops):
     S = emb.shape[0]
     assert S % K == 0 and tile % K == 0, (S, tile, K)
@@ -297,7 +312,7 @@ def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     feat, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel, L1, L3, K, act_super),
+        functools.partial(_fwd_kernel, L1, L3, K, act_super, bf16),
         grid=grid,
         in_specs=[row_spec(F_emb), row_spec(dd), row_spec(ex3.shape[1]),
                   row_spec(1)]
@@ -310,14 +325,15 @@ def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
     return feat[:S // K], alpha[:S // K]
 
 
-def _fused_fwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret,
+def _fused_fwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
                     emb, d, ex3, w, ops):
     out = _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
-                          emb, d, ex3, w, ops)
+                          bf16, emb, d, ex3, w, ops)
     return out, (emb, d, ex3, w, tuple(ops))
 
 
-def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, res, cts):
+def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
+                    res, cts):
     emb, d, ex3, w, ops = res
     dfeat, dalpha = cts                           # [S/K,H], [S/K,1]
     S = emb.shape[0]
@@ -333,7 +349,7 @@ def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, res, cts):
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L1, L3, K, act_super),
+        functools.partial(_bwd_kernel, L1, L3, K, act_super, bf16),
         grid=grid,
         in_specs=[row_spec(F_emb), row_spec(dd), row_spec(E3), row_spec(1)]
         + [full(c) for c in (Se, pe, Sd, pd)]

@@ -23,7 +23,10 @@ import tempfile
 
 
 def parse_xplanes(logdir: str, top: int):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:  # proto location moved across TF releases
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
     assert paths, f"no xplane.pb under {logdir}"
     totals = collections.Counter()

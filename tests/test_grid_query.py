@@ -159,14 +159,20 @@ def test_full_query_ray_mask():
     spec = make_grid_spec(opt, points_min=xyz.min(0), points_max=xyz.max(0),
                           max_points=1)
     grid = build_grid(jnp.asarray(xyz), jnp.ones(1, bool), spec)
-    # ray 0 passes through the point; ray 1 far away
+    # ray 0 passes through the point; ray 1 far away. The query is
+    # t-parameterized (raypos = campos + raydir·t); rays with different
+    # origins go in as separate batch rows.
     D = 16
     t = np.linspace(0.0, 1.0, D, dtype=np.float32)
-    ray0 = np.stack([0.5 * np.ones(D), 0.5 * np.ones(D), t], axis=-1)
-    ray1 = np.stack([5.0 * np.ones(D), 5.0 * np.ones(D), t], axis=-1)
-    raypos = jnp.asarray(np.stack([ray0, ray1])[None])  # [1,2,D,3]
+    campos = jnp.asarray(np.array([[0.5, 0.5, 0.0], [5.0, 5.0, 0.0]],
+                                  np.float32))               # [2,3]
+    raydir = jnp.asarray(np.tile(np.array([[[0.0, 0.0, 1.0]]], np.float32),
+                                 (2, 1, 1)))                 # [2,1,3]
+    tvals = jnp.asarray(np.tile(t[None, None], (2, 1, 1)))   # [2,1,D]
     pidx, loc, ray_mask, _qo, _comp = query_grid_points(
-        raypos, jnp.asarray(xyz), grid, spec, SR=4, K=2)
+        campos, raydir, tvals, jnp.asarray(xyz), grid, spec, SR=4, K=2)
+    pidx = pidx.reshape(1, 2, 4, 2)
+    ray_mask = ray_mask.reshape(1, 2)
     assert pidx.shape == (1, 2, 4, 2)
     rm = np.asarray(ray_mask)
     assert rm[0, 0] and not rm[0, 1]

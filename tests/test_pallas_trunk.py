@@ -82,3 +82,50 @@ def test_fused_trunk_rejects_bad_config():
     ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
     with pytest.raises(AssertionError):
         trainer.eval_step(ts, grid, batch, bad, spec)
+
+
+def test_fused_trunk_bf16_close_to_f32():
+    """The bf16-operand kernel (trunk_dtype default) must track the f32
+    kernel within mixed-precision tolerance — direct kernel-level A/B in
+    interpret mode (the model path disables bf16 under interpret so the
+    exact-parity tests above stay exact)."""
+    from pointnerf_tpu.ops.pallas_trunk import fused_trunk, pack_trunk_params
+    from pointnerf_tpu.models.aggregator import init_aggregator_params
+    from test_end_to_end import tiny_setup
+
+    opt, *_ = tiny_setup(R_side=4)
+    opt = _fused_opt(opt)
+    params = init_aggregator_params(jax.random.PRNGKey(0), opt)
+    F_emb, dd, K = opt.point_features_dim, 6, opt.K
+    ops = pack_trunk_params(params, F_emb, dd, opt.num_feat_freqs,
+                            abs(opt.dist_xyz_freq))
+    E3 = ops[4 + 2 * (opt.shading_feature_mlp_layer1 - 1) + 1].shape[0]
+    rng = np.random.RandomState(0)
+    S = 256
+    emb = jnp.asarray(rng.randn(S, F_emb).astype(np.float32) * 0.3)
+    d = jnp.asarray(rng.randn(S, dd).astype(np.float32) * 0.02)
+    ex3 = jnp.asarray(rng.randn(S, E3).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.rand(S, 1).astype(np.float32))
+
+    def run(bf16):
+        def f(emb):
+            feat, alpha = fused_trunk(
+                opt.shading_feature_mlp_layer1, opt.shading_feature_mlp_layer3,
+                opt.num_feat_freqs, abs(opt.dist_xyz_freq), K,
+                opt.act_super > 0, 64, True, bf16, emb, d, ex3, w, ops)
+            return jnp.sum(feat) + jnp.sum(alpha * alpha), (feat, alpha)
+        (v, (feat, alpha)), g = jax.value_and_grad(f, has_aux=True)(emb)
+        return feat, alpha, g
+
+    f32_feat, f32_alpha, f32_g = run(False)
+    bf_feat, bf_alpha, bf_g = run(True)
+    # relative error vs the f32 magnitude scale of each tensor
+    # grads compound bf16 rounding across ~6 chained dots — max-norm error
+    # ~8% is expected mixed-precision noise (typical entries ~1%); the
+    # end-to-end arbiter is the macro-train PSNR A/B (BASELINE.md round 4)
+    for a, b, tol, name in ((f32_feat, bf_feat, 2e-2, "feat"),
+                            (f32_alpha, bf_alpha, 2e-2, "alpha"),
+                            (f32_g, bf_g, 1.2e-1, "demb")):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < tol, (name, err)
