@@ -729,6 +729,10 @@ def dtu_inf_preset(scan: str = "scan1", **overrides) -> Options:
         SR=40, K=8, P=20, z_depth_dim=400, max_o=1000000,
         radius_limit_scale=0.0, depth_limit_scale=0.0,
         random_sample_size=48, bg_color="black", maximum_step=0,
+        # pre-KNN shading-row compaction (round 4): the exact frustum KNN
+        # runs on the budget rows only; render_image's overflow ladder
+        # retries dense chunks uncompacted
+        SR_budget=-1,
     )
     return base.replace(**overrides) if overrides else base
 

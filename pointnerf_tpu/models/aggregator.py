@@ -357,12 +357,17 @@ def aggregator_forward(params: Dict, opt,
             ex3 = jnp.concatenate(
                 [sampled_color.reshape(-1, 3), sdir_f - ovd_f,
                  jnp.sum(sdir_f * ovd_f, axis=-1, keepdims=True)], axis=-1)
+            order1 = opt.agg_intrp_order == 1
             ops = pack_trunk_params(params, Fd, ddc, opt.num_feat_freqs,
-                                    abs(opt.dist_xyz_freq))
+                                    abs(opt.dist_xyz_freq),
+                                    with_alpha=not order1)
             interp = jax.default_backend() == "cpu"
-            # the kernel also applies raw2out_density per neighbor and does
-            # the weighted K-aggregation in VMEM: outputs are per shading
-            # point ([S/K, ...]), so per-neighbor activations never hit HBM
+            # order 2: the kernel also applies raw2out_density per neighbor
+            # and does the weighted K-aggregation in VMEM — outputs are per
+            # shading point ([S/K, ...]), per-neighbor activations never hit
+            # HBM. order 1 (dtu_inf/feedforward family): the kernel emits the
+            # aggregated features only; the alpha head runs on them below
+            # (reference point_aggregators.py:592-599).
             # bf16 MXU operands (f32 accumulate, PE projections f32) are
             # supported but measured a no-op at bench shapes (BASELINE.md
             # round 4) — the kernel is pass-bound, so f32 is the default
@@ -372,11 +377,15 @@ def aggregator_forward(params: Dict, opt,
                 opt.shading_feature_mlp_layer1,
                 opt.shading_feature_mlp_layer3,
                 opt.num_feat_freqs, abs(opt.dist_xyz_freq),
-                K, opt.act_super > 0, 512, interp, bf16,
+                K, opt.act_super > 0, 512, interp, bf16, order1,
                 sampled_embedding.reshape(-1, Fd),
                 d_raw.reshape(-1, ddc), ex3,
                 w_eff.reshape(-1, 1), ops)
             F = feat_pt.shape[-1]
+            if order1:
+                alpha = raw2out_density(opt, apply_mlp(
+                    params["alpha_branch"], feat_pt, act, final_act=False,
+                    compute_dtype=compute_dtype))
             color = raw2out_color(opt, apply_mlp_pieces(
                 params["color_branch"],
                 [feat_pt, viewdirs_pe.reshape(B * R * SR, -1)],

@@ -79,14 +79,16 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
             xyz = jax.lax.stop_gradient(point_state["xyz"])
             fgrid, xyz_pers = build_frustum_grid(
                 xyz, point_state["mask"], batch["camrotc2w"], campos, spec)
-        sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask = \
-            query_frustum_points(
+        B, R = raydir.shape[0], raydir.shape[1]
+        Nc = effective_sr_budget(opt, B * R * opt.SR) if not prob else 0
+        sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask, q_overflow, \
+            comp = query_frustum_points(
                 raydir, batch["camrotc2w"], campos, xyz_pers, fgrid, spec,
                 SR=opt.SR, K=opt.K, jitter=opt.shpnt_jitter, key=key,
-                is_train=is_train)
+                is_train=is_train, Nc=Nc)
         return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
                         ray_mask, jax.lax.stop_gradient(sample_ray_dirs),
-                        jnp.zeros((), jnp.int32), None)
+                        q_overflow, comp)
 
     # 1. raw depth samples (reference point_query.py:78-81: jitter 0.3 at train)
     gen = raygen.find_ray_generation_method(

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from .camera import w2pers, pers2w
 from .grid import GridSpec, build_grid
 from .query import (mask_raypos, select_shading_points, knn_neighbors,
-                    knn_neighbors_superset)
+                    knn_neighbors_superset, compact_row_map,
+                    scatter_row_valid)
 
 SENTINEL = 1.0e6
 
@@ -136,20 +137,29 @@ def _jitter_z(sample_loc: jnp.ndarray, mode: str, vsize_z: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "SR", "K", "jitter", "is_train"))
+                   static_argnames=("spec", "SR", "K", "jitter", "is_train",
+                                    "Nc"))
 def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
                          campos: jnp.ndarray, xyz_pers: jnp.ndarray, grid,
                          spec: GridSpec, SR: int, K: int,
                          jitter: str = "passfunc",
                          key: Optional[jax.Array] = None,
-                         is_train: bool = False):
+                         is_train: bool = False, Nc: int = 0):
     """Full frustum query (reference query_points :80-101).
 
     raydir [B,R,3] world ray dirs, camrotc2w [B,3,3], campos [B,3]; xyz_pers +
     grid from build_frustum_grid (B must be 1 — one grid per camera, like the
     reference's per-frame hyperparameters).
     Returns (sample_pidx [B,R,SR,K], sample_loc_w [B,R,SR,3],
-    sample_ray_dirs [B,R,SR,3], ray_mask [B,R]).
+    sample_ray_dirs [B,R,SR,3], ray_mask [B,R], q_overflow, comp).
+
+    Nc > 0 (pre-KNN SR_budget compaction, round 4 — BASELINE.md named it
+    "the known next lever" for dtu_inf serving): the exact 27-tile KNN runs
+    only on the first Nc occupancy-valid shading rows instead of all
+    B·R·SR — on real DTU scenes most rows are empty. sample_pidx is then
+    None and comp = (comp_src, comp_valid, c_pidx, row_valid), the same
+    contract as query_grid_points; overflowed rows are counted in
+    q_overflow so render_image's budget ladder can retry uncompacted.
     """
     B, R, _ = raydir.shape
     if B != 1 or camrotc2w.shape[0] != 1 or campos.shape[0] != 1:
@@ -189,19 +199,37 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     rp_valid = mask_raypos(raypos, grid, spec) & (fwd > 1e-9)[..., None]
     sample_loc, sample_mask = select_shading_points(raypos, rp_valid, SR)
 
-    # KNN runs on the UNJITTERED locations; the jitter perturbs only the
-    # returned shading positions — reference ordering (query_grid_point_index
-    # then shpnt_jitter, query_point_indices.py:92-99).
-    if spec.superset_P > 0:
-        sample_pidx = knn_neighbors_superset(sample_loc, sample_mask, grid,
-                                             spec, K)
+    def knn(loc, mask):
+        # KNN runs on the UNJITTERED locations; the jitter perturbs only the
+        # returned shading positions — reference ordering
+        # (query_grid_point_index then shpnt_jitter, :92-99).
+        if spec.superset_P > 0:
+            return knn_neighbors_superset(loc, mask, grid, spec, K)
+        return knn_neighbors(loc, mask, xyz_pers, grid, spec, K)
+
+    S = B * R * SR
+    q_overflow = jnp.zeros((), jnp.int32)
+    comp = None
+    if 0 < Nc < S:
+        Ncb = -(-Nc // B)
+        counts = jnp.sum(sample_mask.astype(jnp.int32), axis=-1)  # [B,R]
+        comp_src, comp_valid, n_total = compact_row_map(counts, Ncb, SR)
+        c_loc = sample_loc.reshape(S, 3)[comp_src.reshape(-1)].reshape(
+            B, Ncb, 3)
+        c_pidx = knn(c_loc[:, :, None, :], comp_valid[:, :, None])
+        c_pidx = jnp.where(comp_valid[..., None], c_pidx[:, :, 0], -1)
+        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)
+        row_valid = scatter_row_valid(comp_src, comp_valid, c_has, R, SR)
+        ray_mask = jnp.any(row_valid, axis=-1)
+        q_overflow = jnp.sum(jnp.maximum(n_total - Ncb, 0))
+        comp = (comp_src, comp_valid, c_pidx, row_valid)
+        sample_pidx = None
     else:
-        sample_pidx = knn_neighbors(sample_loc, sample_mask, xyz_pers, grid,
-                                    spec, K)
+        sample_pidx = knn(sample_loc, sample_mask)
+        ray_mask = jnp.any(
+            sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
     if is_train:
         sample_loc = _jitter_z(sample_loc, jitter, spec.vsize[2], key)
-    ray_mask = jnp.any(
-        sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
 
     # perspective → world; per-sample ray dirs (reference pers2w :93-101
     # recomputes dirs from the sample positions, NOT the input raydir)
@@ -210,4 +238,5 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     sample_ray_dirs = shift / (jnp.linalg.norm(shift, axis=-1, keepdims=True)
                                + 1e-7)
     sample_loc_w = jnp.where(sample_mask[..., None], sample_loc_w, 0.0)
-    return sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask
+    return (sample_pidx, sample_loc_w, sample_ray_dirs, ray_mask, q_overflow,
+            comp)

@@ -51,11 +51,14 @@ def _dleaky(z):
 
 # --------------------------------------------------------------- param pack
 def pack_trunk_params(agg_params: Dict, F_emb: int, dd: int,
-                      n_feat_freqs: int, n_dist_freqs: int) -> List:
-    """Flatten block1/block3/alpha_branch into the kernel's operand list.
+                      n_feat_freqs: int, n_dist_freqs: int,
+                      with_alpha: bool = True) -> List:
+    """Flatten block1/block3[/alpha_branch] into the kernel's operand list.
 
     block1 first-layer rows split by piece: [emb | PE(emb) | PE(dists)]
-    (same order aggregator_forward builds `pieces`).
+    (same order aggregator_forward builds `pieces`). with_alpha=False
+    (agg_intrp_order==1): the alpha head runs on the AGGREGATED features
+    outside the kernel, so its weights stay out of the operand list.
     """
     b1 = agg_params["block1"]
     b3 = agg_params["block3"]
@@ -74,13 +77,18 @@ def pack_trunk_params(agg_params: Dict, F_emb: int, dd: int,
     ops += [w3[:H], w3[H:], b2d(b3[0]["b"])]
     for layer in b3[1:]:
         ops += [layer["w"], b2d(layer["b"])]
-    ops += [al[0]["w"], b2d(al[0]["b"])]
+    if with_alpha:
+        ops += [al[0]["w"], b2d(al[0]["b"])]
     return ops
 
 
-def _unpack(ops, L1: int, L3: int):
+def _n_ops(L1: int, L3: int, with_alpha: bool) -> int:
+    return 4 + 2 * (L1 - 1) + 3 + 2 * (L3 - 1) + (2 if with_alpha else 0)
+
+
+def _unpack(ops, L1: int, L3: int, with_alpha: bool = True):
     """ops -> (w1e, w1p, w1d, b1, extra1[(w,b)...], w3x, w3e, b3,
-    extra3[(w,b)...], wa, ba)."""
+    extra3[(w,b)...], wa, ba); wa/ba None without the alpha head."""
     i = 0
     w1e, w1p, w1d, b1 = ops[i:i + 4]; i += 4
     extra1 = []
@@ -90,7 +98,9 @@ def _unpack(ops, L1: int, L3: int):
     extra3 = []
     for _ in range(L3 - 1):
         extra3.append((ops[i], ops[i + 1])); i += 2
-    wa, ba = ops[i:i + 2]; i += 2
+    wa = ba = None
+    if with_alpha:
+        wa, ba = ops[i:i + 2]; i += 2
     assert i == len(ops)
     return w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba
 
@@ -107,13 +117,14 @@ def _dot_bf16(a, b):
                    preferred_element_type=jnp.float32)
 
 
-def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot):
+def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot,
+              with_alpha=True):
     """Forward chain on one VMEM tile; returns intermediates for the bwd.
 
     The PE projections (t_e/t_d) always run f32: their outputs feed sin/cos
     where bf16's ~3-digit mantissa would alias high frequencies."""
     w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
-        ops, L1, L3)
+        ops, L1, L3, with_alpha)
     t_e = _dot(emb, Se) + pe
     t_d = _dot(d, Sd) + pd
     pe_e = jnp.sin(t_e)
@@ -134,7 +145,7 @@ def _fwd_tile(emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot):
         zs3.append(z)
         gs.append(_leaky(z))
     g = gs[-1]
-    za = dot(g, wa) + ba
+    za = (dot(g, wa) + ba) if with_alpha else None
     return t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za
 
 
@@ -154,43 +165,51 @@ def _group_sum(x, K):
     return jnp.sum(x.reshape(T // K, K, C), axis=1)
 
 
-def _fwd_kernel(L1, L3, K, act_super, bf16,
+def _fwd_kernel(L1, L3, K, act_super, bf16, order1,
                 emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
                 pd_ref, *rest):
-    n_ops = len(rest) - 2
+    n_outs = 1 if order1 else 2
+    n_ops = len(rest) - n_outs
     ops = [r[:] for r in rest[:n_ops]]
-    feat_ref, alpha_ref = rest[n_ops:]
     *_, g, za = _fwd_tile(emb_ref[:], d_ref[:], ex3_ref[:], ops,
                           Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:], L1, L3,
-                          dot=_dot_bf16 if bf16 else _dot)
+                          dot=_dot_bf16 if bf16 else _dot,
+                          with_alpha=not order1)
     w = w_ref[:]                                  # [T,1] neighbor weights
-    # per-neighbor density activation BEFORE the weighted K-sum (reference
-    # agg_intrp_order==2, point_aggregators.py:601-639), then aggregate the
-    # K neighbors of each shading point in-VMEM: the kernel's output traffic
-    # drops K-fold vs emitting per-neighbor rows
+    # aggregate the K neighbors of each shading point in-VMEM: the kernel's
+    # output traffic drops K-fold vs emitting per-neighbor rows.
+    # order 2 (reference point_aggregators.py:601-639): per-neighbor density
+    # activation BEFORE the weighted K-sum. order 1 (:592-599): the alpha
+    # head runs on the AGGREGATED features — outside the kernel.
+    feat_ref = rest[n_ops]
     feat_ref[:] = _group_sum(g * w, K)
-    alpha_ref[:] = _group_sum(_alpha_act(za, act_super) * w, K)
+    if not order1:
+        alpha_ref = rest[n_ops + 1]
+        alpha_ref[:] = _group_sum(_alpha_act(za, act_super) * w, K)
 
 
-def _bwd_kernel(L1, L3, K, act_super, bf16,
+def _bwd_kernel(L1, L3, K, act_super, bf16, order1,
                 emb_ref, d_ref, ex3_ref, w_ref, Se_ref, pe_ref, Sd_ref,
                 pd_ref, *rest):
     """Recompute forward per tile, backprop; dW accumulate across grid."""
-    # layout: rest = ops..., dfeat_pt, dalpha_pt, demb, dd, dex3, dw, dops...
+    # layout: rest = ops..., dfeat_pt[, dalpha_pt], demb, dd, dex3, dw, dops..
     Se, pe, Sd, pd = Se_ref[:], pe_ref[:], Sd_ref[:], pd_ref[:]
-    n_ops = 4 + 2 * (L1 - 1) + 3 + 2 * (L3 - 1) + 2
+    n_ops = _n_ops(L1, L3, not order1)
+    n_cts = 1 if order1 else 2
     ops = [r[:] for r in rest[:n_ops]]
-    dfeat_ref, dalpha_ref = rest[n_ops], rest[n_ops + 1]
-    demb_ref, dd_ref, dex3_ref, dw_ref = rest[n_ops + 2: n_ops + 6]
-    dops_refs = rest[n_ops + 6:]
+    dfeat_ref = rest[n_ops]
+    dalpha_ref = None if order1 else rest[n_ops + 1]
+    demb_ref, dd_ref, dex3_ref, dw_ref = rest[n_ops + n_cts: n_ops + n_cts + 4]
+    dops_refs = rest[n_ops + n_cts + 4:]
     assert len(dops_refs) == n_ops, (len(dops_refs), n_ops)
     _dot = _dot_bf16 if bf16 else globals()["_dot"]
 
     emb, d, ex3, w = emb_ref[:], d_ref[:], ex3_ref[:], w_ref[:]
     w1e, w1p, w1d, b1, extra1, w3x, w3e, b3, extra3, wa, ba = _unpack(
-        ops, L1, L3)
+        ops, L1, L3, not order1)
     t_e, t_d, pe_e, pe_d, zs1, hs, zs3, gs, g, za = _fwd_tile(
-        emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot)
+        emb, d, ex3, ops, Se, pe, Sd, pd, L1, L3, dot=_dot,
+        with_alpha=not order1)
 
     # un-group the shading-point cotangents to neighbor rows
     T = emb.shape[0]
@@ -200,15 +219,19 @@ def _bwd_kernel(L1, L3, K, act_super, bf16,
         return jnp.broadcast_to(x[:, None, :], (T // K, K, C)).reshape(T, C)
 
     dfeat_pt = ungroup(dfeat_ref[:])              # [T,H]
-    dalpha_pt = ungroup(dalpha_ref[:])            # [T,1]
-    a_act = _alpha_act(za, act_super)
-    dw_ref[:] = jnp.sum(g * dfeat_pt, axis=1, keepdims=True) \
-        + a_act * dalpha_pt
-    dza = dalpha_pt * w * _dalpha_act(za, act_super)
-    dg = dfeat_pt * w + _dot(dza, wa.T)
     grads = {}
-    grads[id(wa)] = _dot(g.T, dza)
-    grads[id(ba)] = jnp.sum(dza, axis=0, keepdims=True)
+    if order1:
+        dw_ref[:] = jnp.sum(g * dfeat_pt, axis=1, keepdims=True)
+        dg = dfeat_pt * w
+    else:
+        dalpha_pt = ungroup(dalpha_ref[:])        # [T,1]
+        a_act = _alpha_act(za, act_super)
+        dw_ref[:] = jnp.sum(g * dfeat_pt, axis=1, keepdims=True) \
+            + a_act * dalpha_pt
+        dza = dalpha_pt * w * _dalpha_act(za, act_super)
+        dg = dfeat_pt * w + _dot(dza, wa.T)
+        grads[id(wa)] = _dot(g.T, dza)
+        grads[id(ba)] = jnp.sum(dza, axis=0, keepdims=True)
 
     # block3 backward
     dcur = dg
@@ -248,7 +271,8 @@ def _bwd_kernel(L1, L3, K, act_super, bf16,
     ordered += [w3x, w3e, b3]
     for (w, b) in extra3:
         ordered += [w, b]
-    ordered += [wa, ba]
+    if not order1:
+        ordered += [wa, ba]
 
     first = pl.program_id(0) == 0
     for ref, arr in zip(dops_refs, ordered):
@@ -280,10 +304,10 @@ def _pad_rows(x, T):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
 def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
                 K: int, act_super: bool, tile: int, interpret: bool,
-                bf16: bool,
+                bf16: bool, order1: bool,
                 emb: jnp.ndarray, d: jnp.ndarray, ex3: jnp.ndarray,
                 w: jnp.ndarray, ops: Sequence[jnp.ndarray]
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -292,17 +316,22 @@ def fused_trunk(L1: int, L3: int, n_feat_freqs: int, n_dist_freqs: int,
     from pack_trunk_params. Returns the per-SHADING-POINT aggregates
     (feat_pt [S/K,H] = sum_k w*g, alpha_pt [S/K,1] = sum_k w*act(alpha_raw))
     — the K-reduction happens inside the kernel, so per-neighbor features
-    never reach HBM."""
+    never reach HBM. order1 (agg_intrp_order==1): ops exclude the alpha
+    head (pack_trunk_params(with_alpha=False)); returns (feat_pt, None) —
+    the alpha branch runs on the aggregated features outside."""
     return _fused_fwd_impl(L1, L3, n_feat_freqs, n_dist_freqs, K, act_super,
-                           tile, interpret, bf16, emb, d, ex3, w, ops)
+                           tile, interpret, bf16, order1, emb, d, ex3, w,
+                           ops)
 
 
 def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
-                    emb, d, ex3, w, ops):
+                    order1, emb, d, ex3, w, ops):
     S = emb.shape[0]
     assert S % K == 0 and tile % K == 0, (S, tile, K)
     F_emb, dd = emb.shape[1], d.shape[1]
-    H = ops[-2].shape[0]            # alpha weight [H,1]
+    # feature width: last block3 bias's width (order1 has no alpha head
+    # whose [H,1] weight could be read instead)
+    H = ops[-1].shape[1] if order1 else ops[-2].shape[0]
     Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
     embp, dp, ex3p, wp = (_pad_rows(x, tile) for x in (emb, d, ex3, w))
     Sp = embp.shape[0]
@@ -311,50 +340,67 @@ def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
                                               memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
-    feat, alpha = pl.pallas_call(
-        functools.partial(_fwd_kernel, L1, L3, K, act_super, bf16),
+    if order1:
+        out_specs = (row_spec(H, tile // K),)
+        out_shape = (jax.ShapeDtypeStruct((Sp // K, H), jnp.float32),)
+    else:
+        out_specs = (row_spec(H, tile // K), row_spec(1, tile // K))
+        out_shape = (jax.ShapeDtypeStruct((Sp // K, H), jnp.float32),
+                     jax.ShapeDtypeStruct((Sp // K, 1), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, L1, L3, K, act_super, bf16, order1),
         grid=grid,
         in_specs=[row_spec(F_emb), row_spec(dd), row_spec(ex3.shape[1]),
                   row_spec(1)]
         + [full(c) for c in (Se, pe, Sd, pd)] + [full(o) for o in ops],
-        out_specs=(row_spec(H, tile // K), row_spec(1, tile // K)),
-        out_shape=(jax.ShapeDtypeStruct((Sp // K, H), jnp.float32),
-                   jax.ShapeDtypeStruct((Sp // K, 1), jnp.float32)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops)
-    return feat[:S // K], alpha[:S // K]
+    if order1:
+        return outs[0][:S // K], None
+    return outs[0][:S // K], outs[1][:S // K]
 
 
 def _fused_fwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
-                    emb, d, ex3, w, ops):
+                    order1, emb, d, ex3, w, ops):
     out = _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret,
-                          bf16, emb, d, ex3, w, ops)
+                          bf16, order1, emb, d, ex3, w, ops)
     return out, (emb, d, ex3, w, tuple(ops))
 
 
 def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
-                    res, cts):
+                    order1, res, cts):
     emb, d, ex3, w, ops = res
-    dfeat, dalpha = cts                           # [S/K,H], [S/K,1]
+    dfeat, dalpha = cts                           # [S/K,H], [S/K,1]|None
     S = emb.shape[0]
     F_emb, dd, E3 = emb.shape[1], d.shape[1], ex3.shape[1]
-    H = ops[-2].shape[0]
+    H = dfeat.shape[1]
     Se, pe, Sd, pd = _pe_consts(F_emb, dd, nf, nd)
     embp, dp, ex3p, wp = (_pad_rows(x, tile) for x in (emb, d, ex3, w))
-    dfp, dap = (_pad_rows(x, tile // K) for x in (dfeat, dalpha))
+    dfp = _pad_rows(dfeat, tile // K)
+    cts_in = [dfp]
+    if not order1:
+        # a None/zero cotangent still needs a concrete operand
+        da = dalpha if dalpha is not None else jnp.zeros((S // K, 1),
+                                                         jnp.float32)
+        cts_in.append(_pad_rows(da, tile // K))
     Sp = embp.shape[0]
     grid = (Sp // tile,)
     row_spec = lambda c, t=tile: pl.BlockSpec((t, c), lambda i: (i, 0),
                                               memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    cts_specs = [row_spec(H, tile // K)]
+    if not order1:
+        cts_specs.append(row_spec(1, tile // K))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L1, L3, K, act_super, bf16),
+        functools.partial(_bwd_kernel, L1, L3, K, act_super, bf16, order1),
         grid=grid,
         in_specs=[row_spec(F_emb), row_spec(dd), row_spec(E3), row_spec(1)]
         + [full(c) for c in (Se, pe, Sd, pd)]
         + [full(o) for o in ops]
-        + [row_spec(H, tile // K), row_spec(1, tile // K)],
+        + cts_specs,
         out_specs=tuple([row_spec(F_emb), row_spec(dd), row_spec(E3),
                          row_spec(1)] + [full(o) for o in ops]),
         out_shape=tuple(
@@ -364,7 +410,7 @@ def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
              jax.ShapeDtypeStruct((Sp, 1), jnp.float32)]
             + [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in ops]),
         interpret=interpret,
-    )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops, dfp, dap)
+    )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops, *cts_in)
     demb, ddists, dex3, dw = (outs[0][:S], outs[1][:S], outs[2][:S],
                               outs[3][:S])
     dops = list(outs[4:])
@@ -381,7 +427,10 @@ def fused_trunk_ok(opt) -> bool:
             and opt.shading_feature_mlp_layer2 == 0
             and opt.shading_feature_mlp_layer3 in (1, 2)
             and opt.shading_alpha_mlp_layer == 1
-            and opt.agg_intrp_order == 2
+            # order 2: per-neighbor alpha + K-sum inside the kernel;
+            # order 1 (dtu_inf/feedforward): aggregated-features-only kernel,
+            # alpha head outside (round-4 extension)
+            and opt.agg_intrp_order in (1, 2)
             and opt.agg_feat_xyz_mode == "None"
             and opt.agg_alpha_xyz_mode == "None"
             and opt.num_feat_freqs > 0

@@ -393,8 +393,9 @@ def run_scene(geometry, args):
         "scene_gen_s": round(t_scene, 1),
         "backend": jax.default_backend(),
     }
-    with open("CAMPAIGN.json", "a") as f:
-        f.write(json.dumps(row) + "\n")
+    if not args.quick:  # smoke rows must not pollute the scoreboard file
+        with open("CAMPAIGN.json", "a") as f:
+            f.write(json.dumps(row) + "\n")
     print(json.dumps(row))
     return row
 

@@ -84,7 +84,7 @@ def test_frustum_query_matches_oracle():
     rng = np.random.RandomState(1)
     pixels = rng.randint(0, W, (20, 2)).astype(np.float64)
     raydir = pixel_rays(pixels)
-    pidx, loc_w, sdirs, ray_mask = query_frustum_points(
+    pidx, loc_w, sdirs, ray_mask, _qo, _comp = query_frustum_points(
         jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
         xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
     pidx = np.asarray(pidx)
@@ -167,7 +167,7 @@ def test_frustum_depth_limit():
         jnp.asarray(campos), spec)
     raydir = np.array([[[0.1, 0.1, 1.0]]], np.float32)
     raydir /= np.linalg.norm(raydir, axis=-1, keepdims=True)
-    pidx, _, _, _ = query_frustum_points(
+    pidx, _, _, _, _, _ = query_frustum_points(
         jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
         xyz_pers, grid, spec, SR=4, K=3)
     first = set(int(i) for i in np.asarray(pidx)[0, 0, 0] if i >= 0)
@@ -187,8 +187,8 @@ def test_frustum_jitter_bounds():
     raydir = pixel_rays(pixels)
     args = (jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
             xyz_pers, grid, spec)
-    _, base_w, _, _ = query_frustum_points(*args, SR=4, K=3)
-    _, jit_w, _, _ = query_frustum_points(
+    _, base_w, _, _, _, _ = query_frustum_points(*args, SR=4, K=3)
+    _, jit_w, _, _, _, _ = query_frustum_points(
         *args, SR=4, K=3, jitter="uniform", key=jax.random.PRNGKey(3),
         is_train=True)
     base = np.asarray(w2pers(base_w, jnp.asarray(camrot), jnp.asarray(campos)))
@@ -318,7 +318,7 @@ def test_frustum_inverse_depth_bucketing():
     rng = np.random.RandomState(4)
     pixels = rng.randint(0, W, (16, 2)).astype(np.float64)
     raydir = pixel_rays(pixels)
-    pidx, loc_w, sdirs, ray_mask = query_frustum_points(
+    pidx, loc_w, sdirs, ray_mask, _qo, _comp = query_frustum_points(
         jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
         xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
     pidx, loc_w = np.asarray(pidx), np.asarray(loc_w)
@@ -408,7 +408,7 @@ def test_frustum_superset_matches_exact():
         grid, xyz_pers = build_frustum_grid(
             jnp.asarray(xyz), jnp.ones(len(xyz), bool), jnp.asarray(camrot),
             jnp.asarray(campos), spec)
-        pidx, loc_w, _, ray_mask = query_frustum_points(
+        pidx, loc_w, _, ray_mask, _qo, _comp = query_frustum_points(
             jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
             xyz_pers, grid, spec, SR=opt.SR, K=opt.K)
         outs[p2] = (np.asarray(pidx), np.asarray(loc_w), np.asarray(ray_mask))
@@ -452,3 +452,43 @@ def test_frustum_superset_inverse_mode_stays_exact():
     opt = frustum_opt(frustum_superset_P=64, inverse=1)
     spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
     assert spec.superset_P == 0 and spec.inv_z
+
+
+def test_frustum_compaction_matches_uncompacted():
+    """Nc covering all valid rows: the compacted query's (comp_src, c_pidx)
+    must reproduce exactly the uncompacted sample_pidx at the mapped rows,
+    with identical ray_mask and zero overflow (round-4 pre-KNN SR_budget
+    compaction on the frustum path)."""
+    opt = frustum_opt()
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene()
+    n = len(xyz)
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(n, bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+    rng = np.random.RandomState(3)
+    pixels = rng.randint(0, W, (24, 2)).astype(np.float64)
+    raydir = jnp.asarray(pixel_rays(pixels))
+    args = (raydir, jnp.asarray(camrot), jnp.asarray(campos), xyz_pers, grid,
+            spec)
+    R, SR = raydir.shape[1], opt.SR
+    full_pidx, full_w, _, full_mask, qo0, comp0 = query_frustum_points(
+        *args, SR=SR, K=opt.K)
+    assert comp0 is None and int(qo0) == 0
+    Nc = R * SR - 1  # < S engages compaction; still covers every valid row
+    cpidx, c_w, _, c_mask, qo, comp = query_frustum_points(
+        *args, SR=SR, K=opt.K, Nc=Nc)
+    assert cpidx is None and int(qo) == 0
+    comp_src, comp_valid, c_pidx, row_valid = (np.asarray(x) for x in comp)
+    fp = np.asarray(full_pidx).reshape(R * SR, opt.K)
+    has = (fp >= 0).any(-1).reshape(R, SR)
+    np.testing.assert_array_equal(np.asarray(c_mask), np.asarray(full_mask))
+    np.testing.assert_array_equal(row_valid[0], has)
+    for s in range(comp_src.shape[1]):
+        if not comp_valid[0, s]:
+            continue
+        np.testing.assert_array_equal(c_pidx[0, s], fp[comp_src[0, s]],
+                                      err_msg=f"slot {s}")
+    # world locations identical (compaction never touches them)
+    np.testing.assert_allclose(np.asarray(c_w), np.asarray(full_w),
+                               rtol=1e-6, atol=1e-6)

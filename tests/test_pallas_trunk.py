@@ -76,6 +76,37 @@ def test_fused_trunk_two_layer_blocks():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_trunk_order1_parity():
+    """agg_intrp_order==1 (the dtu_inf/feedforward family, round-4
+    extension): the kernel emits aggregated features only and the alpha head
+    runs outside — forward AND gradients must match the XLA composition."""
+    opt, state, spec, grid, batch, _ = tiny_setup(R_side=5)
+    opt1 = _fused_opt(opt).replace(agg_intrp_order=1, use_fused_trunk=0)
+    ts = trainer.create_train_state(opt1, jax.random.PRNGKey(2), state)
+    out_ref = trainer.eval_step(ts, grid, batch, opt1, spec)
+    out_fus = trainer.eval_step(ts, grid, batch,
+                                opt1.replace(use_fused_trunk=1), spec)
+    np.testing.assert_allclose(np.asarray(out_fus["coarse_raycolor"]),
+                               np.asarray(out_ref["coarse_raycolor"]),
+                               rtol=1e-5, atol=1e-5)
+
+    gt, _ = make_gt(batch)
+    b2 = dict(batch, gt_image=gt)
+    key = jax.random.PRNGKey(5)
+    _, g_net_r, g_pts_r = trainer.compute_grads(ts, grid, b2, key, opt1,
+                                                spec)
+    _, g_net_f, g_pts_f = trainer.compute_grads(
+        ts, grid, b2, key, opt1.replace(use_fused_trunk=1), spec)
+    for ref, fus, tag in ((g_net_r, g_net_f, "net"),
+                          (g_pts_r, g_pts_f, "pts")):
+        fr, _ = jax.tree_util.tree_flatten_with_path(ref)
+        ff, _ = jax.tree_util.tree_flatten_with_path(fus)
+        for (path, a), (_, b) in zip(fr, ff):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"{tag} grad {path}")
+
+
 def test_fused_trunk_rejects_bad_config():
     opt, state, spec, grid, batch, _ = tiny_setup(R_side=4)
     bad = opt.replace(use_fused_trunk=1, act_type="ReLU")
@@ -112,7 +143,8 @@ def test_fused_trunk_bf16_close_to_f32():
             feat, alpha = fused_trunk(
                 opt.shading_feature_mlp_layer1, opt.shading_feature_mlp_layer3,
                 opt.num_feat_freqs, abs(opt.dist_xyz_freq), K,
-                opt.act_super > 0, 64, True, bf16, emb, d, ex3, w, ops)
+                opt.act_super > 0, 64, True, bf16, False,
+                emb, d, ex3, w, ops)
             return jnp.sum(feat) + jnp.sum(alpha * alpha), (feat, alpha)
         (v, (feat, alpha)), g = jax.value_and_grad(f, has_aux=True)(emb)
         return feat, alpha, g
