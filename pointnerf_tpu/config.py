@@ -268,6 +268,12 @@ class Options:
                                            # when the aggregator config qualifies
                                            # (fused_trunk_ok); 0 = off; 1 = force (asserts
                                            # the config, interpret-mode on CPU — slow).
+    fused_shade: int = -1                  # v2 Pallas shade kernel: dists + linear
+                                           # weights + conf clamp + trunk in ONE kernel
+                                           # with per-attribute cotangent outputs
+                                           # (fused_shade_ok envelope). -1 = auto (TPU),
+                                           # 0 = off (fall back to use_fused_trunk),
+                                           # 1 = force (interpret on CPU — tests).
     trunk_dtype: str = "float32"           # MXU operand dtype INSIDE the fused trunk.
                                            # "bfloat16" (f32 accumulate) measured ZERO
                                            # speedup at bench shapes — the kernel is

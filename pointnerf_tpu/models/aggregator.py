@@ -269,19 +269,40 @@ def aggregator_forward(params: Dict, opt,
     mask_f = sample_pnt_mask.astype(jnp.float32)
     ray_valid = jnp.any(sample_pnt_mask, axis=-1)  # [B,R,SR]
 
-    dists = compute_dists(opt, sampled_xyz, sampled_xyz_pers, sample_loc,
-                          sample_loc_w, sample_ray_dirs)
+    # ---- v2 fused shade path decision (ops/pallas_trunk.py::fused_shade):
+    # dists + linear weights + conf clamp move INSIDE the kernel, whose
+    # custom VJP emits the per-attribute cotangents directly — the
+    # XLA-composed pre-kernel chain and its backward were ~5 ms/step of
+    # [384k,*] HBM round-trips at bench shapes (BASELINE.md round 4).
+    fs = getattr(opt, "fused_shade", 0)
+    use_shade = (fs != 0 and sampled_Rw2c.ndim == 2
+                 and compute_dtype == jnp.float32
+                 and sampled_conf is not None
+                 and opt.agg_intrp_order in (1, 2))
+    if use_shade:
+        from ..ops.pallas_trunk import fused_shade_ok
+        use_shade = fused_shade_ok(opt) and (
+            fs > 0 or jax.default_backend() != "cpu")
 
-    weight, sampled_embedding = compute_weights(
-        opt, params, sampled_embedding, dists, mask_f, vsize, grid_vox_sz)
-    if opt.agg_weight_norm > 0 and opt.agg_distance_kernel != "trilinear" \
-            and not opt.agg_distance_kernel.startswith("num"):
-        weight = weight / jnp.clip(jnp.sum(weight, axis=-1, keepdims=True), 1e-8)
+    if use_shade:
+        dists = weight = conf_coefficient = w_eff = None
+    else:
+        dists = compute_dists(opt, sampled_xyz, sampled_xyz_pers, sample_loc,
+                              sample_loc_w, sample_ray_dirs)
 
-    conf_coefficient = jnp.ones_like(weight)
-    if sampled_conf is not None:
-        conf_coefficient = gradient_clamp(sampled_conf[..., 0], 0.0001, 1.0)
-    w_eff = weight * conf_coefficient  # [B,R,SR,K]
+        weight, sampled_embedding = compute_weights(
+            opt, params, sampled_embedding, dists, mask_f, vsize, grid_vox_sz)
+        if opt.agg_weight_norm > 0 \
+                and opt.agg_distance_kernel != "trilinear" \
+                and not opt.agg_distance_kernel.startswith("num"):
+            weight = weight / jnp.clip(
+                jnp.sum(weight, axis=-1, keepdims=True), 1e-8)
+
+        conf_coefficient = jnp.ones_like(weight)
+        if sampled_conf is not None:
+            conf_coefficient = gradient_clamp(sampled_conf[..., 0], 0.0001,
+                                              1.0)
+        w_eff = weight * conf_coefficient  # [B,R,SR,K]
 
     # ---- view directions (per shading point)
     # sampled_Rw2c: [3,3] global, or [B,R,SR,K,3,3] per neighbor (scene
@@ -317,6 +338,41 @@ def aggregator_forward(params: Dict, opt,
         if opt.num_feat_freqs > 0:
             pe = positional_encoding(feat, opt.num_feat_freqs)
             pieces.append(pe.reshape(-1, pe.shape[-1]))
+    elif use_shade:
+        from ..ops.pallas_trunk import fused_shade, pack_trunk_params
+        order1 = opt.agg_intrp_order == 1
+        Fd = sampled_embedding.shape[-1]
+        ddc = dist_dim(opt)
+        ops = pack_trunk_params(params, Fd, ddc, opt.num_feat_freqs,
+                                abs(opt.dist_xyz_freq),
+                                with_alpha=not order1)
+        interp = jax.default_backend() == "cpu"
+        RT = sampled_Rw2c.T.astype(jnp.float32)
+        feat_pt, alpha_pt, w_row, conf_row = fused_shade(
+            opt.shading_feature_mlp_layer1, opt.shading_feature_mlp_layer3,
+            opt.num_feat_freqs, abs(opt.dist_xyz_freq), K,
+            opt.act_super > 0, 512, interp, order1, opt.agg_dist_pers,
+            sampled_embedding.reshape(-1, Fd),
+            sampled_xyz.reshape(-1, 3), sampled_xyz_pers.reshape(-1, 3),
+            sampled_color.reshape(-1, 3), sampled_dir.reshape(-1, 3),
+            sampled_conf.reshape(-1, 1), mask_f.reshape(-1, 1),
+            sample_loc.reshape(-1, 3), sample_loc_w.reshape(-1, 3),
+            ori_viewdirs.reshape(-1, 3), RT, ops)
+        weight = w_row.reshape(B, R, SR, K)
+        conf_coefficient = conf_row.reshape(B, R, SR, K)
+        if order1:
+            alpha = raw2out_density(opt, apply_mlp(
+                params["alpha_branch"], feat_pt, act, final_act=False,
+                compute_dtype=compute_dtype))
+        else:
+            alpha = alpha_pt
+        color = raw2out_color(opt, apply_mlp_pieces(
+            params["color_branch"],
+            [feat_pt, viewdirs_pe.reshape(B * R * SR, -1)],
+            act, final_act=False, compute_dtype=compute_dtype))
+        out = jnp.concatenate([alpha, color], axis=-1).reshape(B, R, SR, 4)
+        out = out * ray_valid[..., None].astype(out.dtype)
+        return out, ray_valid, weight, conf_coefficient
     else:
         d = dists
         if opt.dist_xyz_deno > 0.0:

@@ -35,6 +35,10 @@ import jax.numpy as jnp
 
 from .grid import GridSpec, voxel_coords, linearize
 
+# max elements of the [B,R,D,blk] selection indicator (~512 MB f32) before
+# select_shading_t blocks over SR — see its body
+_SELECT_BLOCK_LIMIT = 1 << 27
+
 
 def mask_raypos(raypos: jnp.ndarray, grid, spec: GridSpec) -> jnp.ndarray:
     """[B,R,D,3] ray sample positions → bool validity via dilated occupancy.
@@ -92,11 +96,34 @@ def select_shading_t(tvals: jnp.ndarray, valid: jnp.ndarray, SR: int
     2.9 ms for the top_k + take_along_axis formulation at bench shapes
     (TPU top_k is sort-based; take_along_axis lowers to scalar gathers).
     """
+    B, R, D = valid.shape
     cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)            # [B,R,D]
     total = cum[..., -1]                                          # [B,R]
     s_idx = jnp.arange(1, SR + 1, dtype=cum.dtype)                # [SR]
-    hit = ((cum[..., None] == s_idx) & valid[..., None])          # [B,R,D,SR]
-    t_sel = jnp.einsum("brds,brd->brs", hit.astype(tvals.dtype), tvals)
+
+    def sel_block(idx_block):
+        hit = ((cum[..., None] == idx_block) & valid[..., None])
+        return jnp.einsum("brds,brd->brs", hit.astype(tvals.dtype), tvals)
+
+    # The [B,R,D,blk] comparison feeds a dot, which XLA does NOT fuse its
+    # producers into — the indicator materializes. Bound it to ~512 MB by
+    # blocking over SR: at train shapes (3600·400·80 ≈ 115M) one block; the
+    # WIDE stacked eval/probe programs (18k+ rays per group) would otherwise
+    # build a multi-GB intermediate (the round-4 campaign OOM'd HBM at
+    # 27 GiB inside a probe render exactly here).
+    LIMIT = _SELECT_BLOCK_LIMIT
+    if B * R * D * SR <= LIMIT:
+        t_sel = sel_block(s_idx)
+    else:
+        blk = max(1, LIMIT // (B * R * D))
+        nblk = -(-SR // blk)
+        starts = jnp.arange(nblk, dtype=cum.dtype) * blk
+        t_blocks = jax.lax.map(
+            lambda s0: sel_block(s0 + jnp.arange(1, blk + 1,
+                                                 dtype=cum.dtype)),
+            starts)                                               # [n,B,R,blk]
+        t_sel = jnp.moveaxis(t_blocks, 0, 2).reshape(
+            B, R, nblk * blk)[..., :SR]
     mask = s_idx[None, None] <= total[..., None]                  # [B,R,SR]
     return t_sel, mask, jnp.minimum(total, SR)
 

@@ -279,3 +279,21 @@ def test_superset_adoption_above_surface():
         s = set(int(i) for i in got[0, r, 0] if i >= 0)
         assert e, r  # dilation must make these samples valid
         assert s == e, (r, s, e)
+
+
+def test_select_shading_t_blocked_matches_unblocked(monkeypatch):
+    """The SR-blocked selection (big-program memory guard) must equal the
+    single-block formulation bit-for-bit."""
+    import jax.numpy as jnp
+    from pointnerf_tpu.ops import query as Q
+
+    rng = np.random.RandomState(0)
+    B, R, D, SR = 2, 13, 40, 7
+    valid = jnp.asarray(rng.rand(B, R, D) < 0.3)
+    tvals = jnp.asarray(np.sort(rng.rand(B, R, D).astype(np.float32), -1))
+    t1, m1, c1 = Q.select_shading_t(tvals, valid, SR)
+    monkeypatch.setattr(Q, "_SELECT_BLOCK_LIMIT", 64)  # force blocking
+    t2, m2, c2 = Q.select_shading_t(tvals, valid, SR)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

@@ -161,3 +161,38 @@ def test_fused_trunk_bf16_close_to_f32():
         scale = float(jnp.max(jnp.abs(a))) + 1e-8
         err = float(jnp.max(jnp.abs(a - b))) / scale
         assert err < tol, (name, err)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_fused_shade_parity(order):
+    """v2 fused shade kernel (dists + linear weights + conf in-kernel,
+    per-attribute cotangent outputs) vs the pure-XLA composition: forward
+    AND full gradients, orders 1 and 2."""
+    opt, state, spec, grid, batch, _ = tiny_setup(R_side=6)
+    base = _fused_opt(opt).replace(use_fused_trunk=0, fused_shade=0,
+                                   agg_intrp_order=order)
+    shade = base.replace(fused_shade=1)
+    ts = trainer.create_train_state(base, jax.random.PRNGKey(4), state)
+
+    out_ref = trainer.eval_step(ts, grid, batch, base, spec)
+    out_fus = trainer.eval_step(ts, grid, batch, shade, spec)
+    for k in ("coarse_raycolor", "coarse_point_opacity"):
+        np.testing.assert_allclose(np.asarray(out_fus[k]),
+                                   np.asarray(out_ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+    gt, _ = make_gt(batch)
+    b2 = dict(batch, gt_image=gt)
+    key = jax.random.PRNGKey(6)
+    _, g_net_r, g_pts_r = trainer.compute_grads(ts, grid, b2, key, base,
+                                                spec)
+    _, g_net_f, g_pts_f = trainer.compute_grads(ts, grid, b2, key, shade,
+                                                spec)
+    for ref, fus, tag in ((g_net_r, g_net_f, "net"),
+                          (g_pts_r, g_pts_f, "pts")):
+        fr, _ = jax.tree_util.tree_flatten_with_path(ref)
+        ff, _ = jax.tree_util.tree_flatten_with_path(fus)
+        for (path, a), (_, b) in zip(fr, ff):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=3e-4, atol=3e-5,
+                                       err_msg=f"{tag} grad {path}")
