@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--superset_P", type=int, default=0,
                     help="frustum_superset_P: per-voxel candidate supersets "
                          "on the serving path (0 = exact 27-tile scan)")
+    ap.add_argument("--sr-budget", type=int, default=None,
+                    help="override opt.SR_budget (preset: -1 auto pre-KNN "
+                         "compaction; 0 = exact uncompacted query)")
+    ap.add_argument("--scene", choices=("dense", "surface"), default="dense",
+                    help="dense: 30%% volumetric scatter, ~100%% ray hit "
+                         "(worst case). surface: shell-only cloud over the "
+                         "central 70%% of the image — realistic DTU-like "
+                         "sparsity where the pre-KNN compaction engages")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +57,8 @@ def main():
     from pointnerf_tpu.train import trainer
 
     opt = dtu_inf_preset("scan1", frustum_superset_P=args.superset_P)
+    if args.sr_budget is not None:
+        opt = opt.replace(SR_budget=args.sr_budget)
     W, H = opt.img_wh
     rng = np.random.RandomState(0)
 
@@ -62,12 +72,18 @@ def main():
     # points: a noisy surface shell at mid depth + volumetric scatter,
     # expressed in world = camera frame (identity pose)
     n = args.points
-    px = rng.uniform(0, W, n)
-    py = rng.uniform(0, H, n)
-    z_surface = 3.0 + 0.4 * np.sin(px / W * 9) * np.cos(py / H * 7) \
-        + rng.normal(0, 0.02, n)
-    z_vol = rng.uniform(near, far, n)
-    z = np.where(rng.rand(n) < 0.7, z_surface, z_vol).astype(np.float32)
+    if args.scene == "surface":
+        px = rng.uniform(0.15 * W, 0.85 * W, n)
+        py = rng.uniform(0.15 * H, 0.85 * H, n)
+        z = (3.0 + 0.4 * np.sin(px / W * 9) * np.cos(py / H * 7)
+             + rng.normal(0, 0.02, n)).astype(np.float32)
+    else:
+        px = rng.uniform(0, W, n)
+        py = rng.uniform(0, H, n)
+        z_surface = 3.0 + 0.4 * np.sin(px / W * 9) * np.cos(py / H * 7) \
+            + rng.normal(0, 0.02, n)
+        z_vol = rng.uniform(near, far, n)
+        z = np.where(rng.rand(n) < 0.7, z_surface, z_vol).astype(np.float32)
     x = (px - K[0, 2]) / K[0, 0] * z
     y = (py - K[1, 2]) / K[1, 1] * z
     xyz = np.stack([x, y, z], -1).astype(np.float32)
@@ -108,21 +124,26 @@ def main():
     rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
     raydir = jnp.asarray(rd)
 
+    from pointnerf_tpu.models.renderer import effective_sr_budget
+    Nc = effective_sr_budget(opt, R * opt.SR)
     out = query_frustum_points(raydir, jnp.asarray(camrot),
                                jnp.asarray(campos), xyz_pers, fgrid, spec,
-                               SR=opt.SR, K=opt.K)
-    float(jnp.sum(out[0]))
+                               SR=opt.SR, K=opt.K, Nc=Nc)
+    pidx0 = out[5][2] if out[5] is not None else out[0]
+    float(jnp.sum(pidx0))
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = query_frustum_points(raydir, jnp.asarray(camrot),
                                    jnp.asarray(campos), xyz_pers, fgrid,
-                                   spec, SR=opt.SR, K=opt.K)
+                                   spec, SR=opt.SR, K=opt.K, Nc=Nc)
     hit = float(jnp.mean(out[3]))
+    overflow = int(out[4])
     query_ms = (time.perf_counter() - t0) / args.iters * 1000.0
     print(json.dumps({"query_ms_per_2304_rays": round(query_ms, 1),
-                      "ray_hit_rate": round(hit, 3)}))
+                      "ray_hit_rate": round(hit, 3),
+                      "sr_budget_rows": Nc, "q_overflow_rows": overflow}))
 
-    if spec.superset_P > 0:
+    if spec.superset_P > 0 and out[5] is None:
         # neighbor recall vs the exact 27-tile scan on the same grid (the
         # superset grid dict carries the plain tables too)
         import dataclasses
@@ -168,23 +189,32 @@ def main():
     # state/grid must be jit ARGUMENTS: a closure would embed the ~400MB of
     # tables as HLO constants and 413-reject the remote compile service
     def render_chunk(agg_params, ps, g, raydir_c):
-        return render_forward(agg_params, ps, g, spec, opt,
-                              dict(batch0, raydir=raydir_c), key=None,
-                              is_train=False)["coarse_raycolor"]
+        out = render_forward(agg_params, ps, g, spec, opt,
+                             dict(batch0, raydir=raydir_c), key=None,
+                             is_train=False)
+        return out["coarse_raycolor"], out["sr_overflow"]
 
     jit_chunk = jax.jit(render_chunk)
-    c0 = jit_chunk(ts.agg_params, point_state, fgrid_srv,
-                   jnp.asarray(rdall[:R][None]))
+    c0, _ = jit_chunk(ts.agg_params, point_state, fgrid_srv,
+                      jnp.asarray(rdall[:R][None]))
     float(jnp.sum(c0))
     t0 = time.perf_counter()
+    overs = []
     for ci in range(n_chunks):
-        c = jit_chunk(ts.agg_params, point_state, fgrid_srv,
-                      jnp.asarray(rdall[ci * R:(ci + 1) * R][None]))
+        c, ov = jit_chunk(ts.agg_params, point_state, fgrid_srv,
+                          jnp.asarray(rdall[ci * R:(ci + 1) * R][None]))
+        overs.append(ov)   # device arrays — no host sync inside the timing
     float(jnp.sum(c))
     img_s = time.perf_counter() - t0
+    total_over = int(sum(int(o) for o in overs))
     print(json.dumps({"render_640x512_s": round(img_s, 2),
                       "chunks": n_chunks,
-                      "ms_per_chunk": round(img_s / n_chunks * 1000.0, 1)}))
+                      "ms_per_chunk": round(img_s / n_chunks * 1000.0, 1),
+                      "sr_overflow_rows_total": total_over,
+                      "note": "production serving goes through render_image "
+                              "whose budget ladder re-renders overflowing "
+                              "groups uncompacted; overflow here quantifies "
+                              "how often that happens on this scene"}))
 
 
 if __name__ == "__main__":
