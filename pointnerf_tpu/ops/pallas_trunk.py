@@ -468,9 +468,12 @@ def _shade_front(xyz, xyzp, color, pdir, conf, mask, slr, slwr, ovdr, RT,
     n = jnp.sqrt(jnp.sum(d_world * d_world, axis=1, keepdims=True))
     nc = jnp.maximum(n, 1e-6)
     w_raw = mask / nc
-    S_w = jnp.sum(w_raw.reshape(T // K, K), axis=1, keepdims=True)  # [T/K,1]
+    # rank-3 group reshape ([T,1] -> [T/K,K,1]): the rank-2 [T/K,K] form is
+    # an unsupported Mosaic shape cast (lane<->sublane reshuffle); this is
+    # the same pattern _group_sum uses, which compiles
+    S_w = jnp.sum(w_raw.reshape(T // K, K, 1), axis=1)              # [T/K,1]
     S_wc = jnp.maximum(S_w, 1e-8)
-    S_wr = jnp.broadcast_to(S_wc, (T // K, K)).reshape(T, 1)
+    S_wr = jnp.broadcast_to(S_wc[:, None, :], (T // K, K, 1)).reshape(T, 1)
     w_n = w_raw / S_wr
     conf_c = jnp.clip(conf, 1e-4, 1.0)     # fwd clamp, identity bwd
     w_eff = w_n * conf_c
@@ -545,8 +548,8 @@ def _shade_bwd_kernel(L1, L3, K, act_super, order1, dist_mode,
         return jnp.broadcast_to(x[:, None, :], (T // K, K, C)).reshape(T, C)
 
     def group_sum_rows(x):      # [T,1] -> [T,1] (per-group sum broadcast)
-        s = jnp.sum(x.reshape(T // K, K), axis=1, keepdims=True)
-        return jnp.broadcast_to(s, (T // K, K)).reshape(T, 1)
+        s = jnp.sum(x.reshape(T // K, K, 1), axis=1)
+        return jnp.broadcast_to(s[:, None, :], (T // K, K, 1)).reshape(T, 1)
 
     xyz, xyzp = xyz_ref[:], xyzp_ref[:]
     RT = RT_ref[:]
@@ -628,8 +631,9 @@ def _shade_bwd_kernel(L1, L3, K, act_super, order1, dist_mode,
     # w_raw = mask / clip(|d_world|, 1e-6); conf clamp is identity-bwd
     dconf_ref[:] = dw_eff * w_n + dconfout
     dw_n = dw_eff * conf_c + dwout
-    norm_gate = (S_w > 1e-8).astype(jnp.float32)
-    norm_gate_r = jnp.broadcast_to(norm_gate, (T // K, K)).reshape(T, 1)
+    norm_gate = (S_w > 1e-8).astype(jnp.float32)                # [T/K,1]
+    norm_gate_r = jnp.broadcast_to(norm_gate[:, None, :],
+                                   (T // K, K, 1)).reshape(T, 1)
     dw_raw = (dw_n - group_sum_rows(dw_n * w_n) * norm_gate_r) / S_wr
     dnc = -w_raw / nc * dw_raw * (n > 1e-6).astype(jnp.float32)
     dd_world = dd_world + dnc * d_world / nc
