@@ -740,6 +740,10 @@ def _shade_fwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, order1,
 
 def _shade_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, order1,
                     dist_mode, res, cts):
+    # the backward holds ~2x the forward's live VMEM (front intermediates +
+    # trunk recompute + 6 cotangent row streams): tile 512 exceeds the 16M
+    # scoped-vmem limit by ~2M at production shapes — halve it here only
+    tile = max(K, tile // 2)
     emb, xyz, xyzp, color, pdir, conf, mask, sl, slw, ovd, RT, ops = res
     dfeat, dalpha, dwout, dconfout = cts
     S = emb.shape[0]
