@@ -172,10 +172,16 @@ class Options:
     zero_epsilon: float = 1e-3
     sparse_loss_weight: float = 0.0
     visual_items: Tuple[str, ...] = _t("coarse_raycolor", "gt_image")
+    # Emit loss scalars to tensorboardX under checkpoints/{experiment}/tb
+    # (reference: options/base_options.py:87-90, utils/visualizer.py:47-52).
+    show_tensorboard: int = 0
 
     # ---------------------------------------------------------------- optimization
     lr: float = 0.0005
     plr: float = 0.002                     # neural-point parameter lr
+    # Separate LR for the MVS chain in generalizable training; None falls back
+    # to `lr` (reference: models/mvs_points_volumetric_model.py:73-77).
+    mvs_lr: Optional[float] = None
     lr_policy: str = "iter_exponential_decay"
     lr_decay_iters: int = 1000000
     lr_decay_exp: float = 0.1
@@ -329,9 +335,13 @@ _SUPPORTED_VALUES = {
     "trunk_dtype": ("bfloat16", "float32"),
     "which_agg_model": ("viewmlp",),       # the only aggregator any dev_script uses
     "apply_pnt_mask": (1,),                # mask always applied (padded buffers)
-    "NN": (2, -1),                         # 2: world-coord KNN (frustum =
-                                           # wcoord_query 0); -1: 8-corner
-                                           # vox-grid query (ops/voxgrid.py)
+    "NN": (2, 0, -1),                      # 2: world-coord KNN (frustum =
+                                           # wcoord_query 0); 0: frustum
+                                           # random-sample neighbors
+                                           # (reference query_rand_along_ray,
+                                           # query_point_indices.py:414-491);
+                                           # -1: 8-corner vox-grid query
+                                           # (ops/voxgrid.py)
     "normview": (0, 1),                    # 1: re-express poses in the first
                                            # test cam's frame (nerf_synth_ft);
                                            # 2 (norm mats kept for the model's
@@ -374,6 +384,15 @@ def validate_options(opt: "Options") -> "Options":
             raise ValueError(
                 f"--{fam}_weights must have 1 entry or match "
                 f"--{fam}_items ({len(its)} items, {len(ws)} weights)")
+    if opt.NN == 0 and opt.wcoord_query != 0:
+        # the reference's world-coord pycuda module DECLARES a
+        # query_rand_along_ray handle but its CUDA source never defines it
+        # (query_point_indices_worldcoords.py:530 — only NN>0 is usable
+        # there); the mode exists only on the frustum path
+        raise ValueError(
+            "--NN 0 (random-sample neighbors, reference "
+            "query_rand_along_ray) is a frustum-path mode; it requires "
+            "--wcoord_query 0")
     if opt.NN < 0:
         # vox-grid query: the cloud must be a construct_grid_points lattice
         # with frozen positions (ops/voxgrid.py derive_lattice)

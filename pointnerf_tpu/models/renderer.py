@@ -85,7 +85,7 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
             comp = query_frustum_points(
                 raydir, batch["camrotc2w"], campos, xyz_pers, fgrid, spec,
                 SR=opt.SR, K=opt.K, jitter=opt.shpnt_jitter, key=key,
-                is_train=is_train, Nc=Nc)
+                is_train=is_train, Nc=Nc, rand_mode=opt.NN <= 0)
         return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
                         ray_mask, jax.lax.stop_gradient(sample_ray_dirs),
                         q_overflow, comp)

@@ -138,13 +138,14 @@ def _jitter_z(sample_loc: jnp.ndarray, mode: str, vsize_z: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "SR", "K", "jitter", "is_train",
-                                    "Nc"))
+                                    "Nc", "rand_mode"))
 def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
                          campos: jnp.ndarray, xyz_pers: jnp.ndarray, grid,
                          spec: GridSpec, SR: int, K: int,
                          jitter: str = "passfunc",
                          key: Optional[jax.Array] = None,
-                         is_train: bool = False, Nc: int = 0):
+                         is_train: bool = False, Nc: int = 0,
+                         rand_mode: bool = False):
     """Full frustum query (reference query_points :80-101).
 
     raydir [B,R,3] world ray dirs, camrotc2w [B,3,3], campos [B,3]; xyz_pers +
@@ -152,6 +153,13 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     reference's per-frame hyperparameters).
     Returns (sample_pidx [B,R,SR,K], sample_loc_w [B,R,SR,3],
     sample_ray_dirs [B,R,SR,3], ray_mask [B,R], q_overflow, comp).
+
+    rand_mode (the reference's NN<=0 `query_rand_along_ray` sub-mode,
+    query_point_indices.py:414-491): neighbors are K uniform-without-
+    replacement samples from the cap-valid kernel-window candidates instead
+    of the K nearest. Uses the exact tile scan (no superset rows, no voxel
+    cull — both would bias the uniform pick); priorities derive from `key`
+    (deterministic; falls back to a fixed key at eval).
 
     Nc > 0 (pre-KNN SR_budget compaction, round 4 — BASELINE.md named it
     "the known next lever" for dtu_inf serving): the exact 27-tile KNN runs
@@ -203,6 +211,10 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
         # KNN runs on the UNJITTERED locations; the jitter perturbs only the
         # returned shading positions — reference ordering
         # (query_grid_point_index then shpnt_jitter, :92-99).
+        if rand_mode:
+            rk = key if key is not None else jax.random.PRNGKey(0)
+            return knn_neighbors(loc, mask, xyz_pers, grid, spec, K,
+                                 rand_key=jax.random.fold_in(rk, 7))
         if spec.superset_P > 0:
             return knn_neighbors_superset(loc, mask, grid, spec, K)
         return knn_neighbors(loc, mask, xyz_pers, grid, spec, K)

@@ -27,7 +27,7 @@ Performance notes (v5e-1, measured with host-fetch timing):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -242,12 +242,22 @@ def knn_neighbors_superset(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
 
 
 def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
-                  xyz: jnp.ndarray, grid, spec: GridSpec, K: int) -> jnp.ndarray:
+                  xyz: jnp.ndarray, grid, spec: GridSpec, K: int,
+                  rand_key: "Optional[jax.Array]" = None) -> jnp.ndarray:
     """For each shading point find K nearest neural points in the kernel neighborhood.
 
     sample_loc: [B,R,SR,3] (world); sample_mask: [B,R,SR]; xyz: [N,3].
     Returns sample_pidx [B,R,SR,K] int32 with -1 for missing neighbors.
     Reference: cu:217-302.
+
+    rand_key (frustum NN<=0 sub-mode, reference query_rand_along_ray,
+    query_point_indices.py:414-491): instead of the K NEAREST, keep K
+    candidates sampled uniformly without replacement from the kernel-window
+    candidates that satisfy the radius/depth caps — the reference's
+    first-K + curand reservoir replacement has exactly that distribution.
+    Here it is a top-k over threefry priorities: deterministic given the
+    key (the reference seeds with wall time; determinism is this
+    framework's documented improvement, SURVEY.md §5).
 
     TPU layout: all O=kernel³ neighbor voxels are gathered at once as
     contiguous [P,3] xyz tiles (grid["occ_2_xyz"], built once per grid), the
@@ -284,6 +294,10 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     # non-selected voxel almost never holds a true K-nearest point (its
     # center is farther than T-th best).
     T = spec.query_max_voxels
+    if rand_key is not None:
+        T = 0  # random mode scans the FULL kernel window (reference
+        #        query_rand_along_ray has no shell/cull structure); a
+        #        center-distance cull would bias the uniform sample
     if 0 < T < O:
         mn = jnp.asarray(spec.ranges_min, sample_loc.dtype)
         vs = jnp.asarray(spec.scaled_vsize, sample_loc.dtype)
@@ -322,8 +336,16 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     # stage 3 — top-k selection; position→index decode as a one-hot
     # contraction (take_along_axis lowers to per-element gathers, see
     # knn_neighbors_superset)
-    neg_top, arg = jax.lax.top_k(-d2, K)
-    best_d = -neg_top
+    if rand_key is not None:
+        # K uniform-without-replacement among cap-valid candidates: top-k of
+        # per-candidate threefry priorities (ties have measure zero)
+        pri = jax.random.uniform(rand_key, d2.shape, minval=0.0, maxval=1.0)
+        score = jnp.where(d2 < BIG, pri, -1.0)
+        top_pri, arg = jax.lax.top_k(score, K)
+        best_d = jnp.where(top_pri >= 0.0, 0.0, BIG)  # reuse the <BIG gate
+    else:
+        neg_top, arg = jax.lax.top_k(-d2, K)
+        best_d = -neg_top
     onehot = (arg[..., None] == jnp.arange(O * P, dtype=arg.dtype)
               ).astype(jnp.float32)
     best_i = jnp.einsum("...kp,...p->...k", onehot,

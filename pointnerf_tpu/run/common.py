@@ -67,6 +67,8 @@ def options_from_cli(argv=None, base: Optional[Options] = None) -> Options:
             v = tuple(v)
         elif cur is None and name == "max_o":
             v = int(v)
+        elif cur is None and name in ("mvs_lr", "far_plane_shift"):
+            v = float(v)
         kw[name] = v
     from ..config import validate_options
     return validate_options(base.replace(**kw) if kw else base)

@@ -58,12 +58,15 @@ def split_mvs_params(params: Dict) -> Tuple[Dict, Dict]:
 
 
 def make_optimizers(opt):
+    # The MVS chain takes its own LR when --mvs_lr is set, falling back to
+    # --lr (reference: models/mvs_points_volumetric_model.py:73-77).
+    mvs_lr = opt.mvs_lr if opt.mvs_lr is not None else opt.lr
     net_tx = optax.chain(
         optax.scale_by_adam(),
         optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.lr)(s)))
     mvs_tx = optax.chain(
         optax.scale_by_adam(),
-        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, opt.lr)(s)))
+        optax.scale_by_schedule(lambda s: -1.0 * make_lr_schedule(opt, mvs_lr)(s)))
     return net_tx, mvs_tx
 
 

@@ -23,6 +23,10 @@ def to8b(x: np.ndarray) -> np.ndarray:
 class Visualizer:
     def __init__(self, opt, use_tensorboard: Optional[bool] = None):
         self.opt = opt
+        if use_tensorboard is None:
+            # Wired from --show_tensorboard at every driver call site
+            # (reference: options/base_options.py:87-90).
+            use_tensorboard = bool(getattr(opt, "show_tensorboard", 0))
         self.image_dir = os.path.join(opt.checkpoints_dir, opt.experiment, "images")
         self.point_dir = os.path.join(opt.checkpoints_dir, opt.experiment, "points")
         self.vid_dir = os.path.join(opt.checkpoints_dir, opt.experiment, "vids")

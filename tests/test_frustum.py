@@ -492,3 +492,104 @@ def test_frustum_compaction_matches_uncompacted():
     # world locations identical (compaction never touches them)
     np.testing.assert_allclose(np.asarray(c_w), np.asarray(full_w),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_frustum_rand_mode_nn0():
+    """NN<=0 random-sample sub-mode (reference query_rand_along_ray,
+    query_point_indices.py:414-491): K neighbors sampled uniformly without
+    replacement from the cap-valid kernel-window candidates — the
+    distribution of the reference's first-K + curand reservoir replacement.
+    """
+    opt = frustum_opt(NN=0, wcoord_query=0)
+    spec = make_frustum_spec(opt, intrinsic(), W, H, NEAR, FAR)
+    xyz, camrot, campos = make_scene(n=220, seed=3)
+    n = len(xyz)
+    grid, xyz_pers = build_frustum_grid(
+        jnp.asarray(xyz), jnp.ones(n, bool), jnp.asarray(camrot),
+        jnp.asarray(campos), spec)
+
+    rng = np.random.RandomState(2)
+    pixels = rng.randint(0, W, (16, 2)).astype(np.float64)
+    raydir = pixel_rays(pixels)
+
+    def run(seed):
+        pidx, loc_w, _sd, ray_mask, _qo, _comp = query_frustum_points(
+            jnp.asarray(raydir), jnp.asarray(camrot), jnp.asarray(campos),
+            xyz_pers, grid, spec, SR=opt.SR, K=opt.K,
+            key=jax.random.PRNGKey(seed), rand_mode=True)
+        return np.asarray(pidx), np.asarray(loc_w), np.asarray(ray_mask)
+
+    pidx0, loc_w, ray_mask = run(0)
+
+    # oracle candidate sets (same voxelization as the exact-KNN oracle)
+    pers = np.asarray(xyz_pers)
+    mn = np.asarray(spec.ranges_min)
+    vs = np.asarray(spec.scaled_vsize)
+    vdim = np.asarray(spec.vdim)
+    vox = np.floor((pers - mn) / vs).astype(np.int64)
+
+    def cand_set(center):
+        cvox = np.floor((center - mn) / vs).astype(np.int64)
+        cands = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    v = cvox + np.array([dx, dy, dz])
+                    if np.any(v < 0) or np.any(v >= vdim):
+                        continue
+                    cands += [i for i in range(n)
+                              if np.all(vox[i] == v)][: spec.P]
+        return set(cands)
+
+    from pointnerf_tpu.ops.camera import w2pers as _w2p
+    n_multi = 0          # rows with more candidates than K
+    union_runs = {}      # row -> set of indices seen across seeds
+    rows = []
+    for r in range(16):
+        for s in range(opt.SR):
+            got = [int(i) for i in pidx0[0, r, s] if i >= 0]
+            if not got:
+                continue
+            center = np.asarray(_w2p(
+                jnp.asarray(loc_w[0, r, s][None, None, None]),
+                jnp.asarray(camrot), jnp.asarray(campos)))[0, 0, 0]
+            cands = cand_set(center)
+            # 1. membership: every returned neighbor is a window candidate
+            assert set(got) <= cands, (r, s, set(got) - cands)
+            # 2. no duplicates within a row
+            assert len(got) == len(set(got))
+            # 3. <=K candidates -> ALL are returned (reference keeps first K)
+            if len(cands) <= opt.K:
+                assert set(got) == cands
+            else:
+                n_multi += 1
+                rows.append((r, s, cands))
+    assert n_multi > 0, "scene too sparse to exercise the random pick"
+
+    # 4. randomness + coverage: across seeds, oversubscribed rows vary and
+    #    every candidate is eventually picked (uniform support)
+    varied = 0
+    for seed in range(1, 8):
+        pidx_k, _, _ = run(seed)
+        for (r, s, cands) in rows:
+            got = frozenset(int(i) for i in pidx_k[0, r, s] if i >= 0)
+            union_runs.setdefault((r, s), set()).update(got)
+            if got != frozenset(int(i) for i in pidx0[0, r, s] if i >= 0):
+                varied += 1
+    assert varied > 0, "selections identical across keys — not random"
+    for (r, s, cands) in rows:
+        assert union_runs[(r, s)] <= cands
+
+    # 5. determinism: same key -> same result
+    pidx0b, _, _ = run(0)
+    np.testing.assert_array_equal(pidx0, pidx0b)
+
+
+def test_nn0_config_validation():
+    """--NN 0 parses on the frustum path and is rejected elsewhere (the
+    reference's worldcoords module declares query_rand_along_ray but never
+    defines it — query_point_indices_worldcoords.py:530)."""
+    from pointnerf_tpu.config import validate_options
+    validate_options(frustum_opt(NN=0, wcoord_query=0))
+    with pytest.raises(ValueError, match="frustum"):
+        validate_options(frustum_opt(NN=0, wcoord_query=1))

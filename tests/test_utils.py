@@ -257,3 +257,50 @@ def test_plateau_tracker_max_mode_fires_on_flat_psnr():
     t2 = PlateauTracker(mode="max")
     t2.load_state_dict(d)
     assert t2.best == tracker.best and t2.num_bad == tracker.num_bad
+
+
+def test_visualizer_tensorboard(tmp_path):
+    """--show_tensorboard wires tensorboardX scalar emission
+    (reference: options/base_options.py:87-90, utils/visualizer.py:47-52,176-182)."""
+    import pytest
+    pytest.importorskip("tensorboardX")
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+    opt = opt.replace(checkpoints_dir=str(tmp_path), experiment="tbviz",
+                      show_tensorboard=1)
+    viz = Visualizer(opt)
+    assert viz.tb is not None
+    viz.accumulate_losses({"loss_coarse_raycolor": 0.01})
+    viz.print_losses(3)
+    viz.tb.flush()
+    tb_dir = os.path.join(str(tmp_path), "tbviz", "tb")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, "no tensorboard event file written"
+    # default-off: no tb dir side effects
+    opt0 = opt.replace(experiment="tbviz0", show_tensorboard=0)
+    assert Visualizer(opt0).tb is None
+
+
+def test_mvs_lr_flag():
+    """--mvs_lr gives the MVS optimizer its own LR, falling back to --lr
+    (reference: models/mvs_points_volumetric_model.py:73-77)."""
+    from pointnerf_tpu.run.common import options_from_cli
+    from pointnerf_tpu.run.train import make_optimizers
+    import optax
+
+    opt = options_from_cli(["--preset", "dtu_gen", "--mvs_lr", "0.0001"])
+    assert opt.mvs_lr == 0.0001 and isinstance(opt.mvs_lr, float)
+    opt_default = options_from_cli(["--preset", "dtu_gen"])
+    assert opt_default.mvs_lr is None
+
+    def first_update(o):
+        _, mvs_tx = make_optimizers(o)
+        p = {"w": jnp.ones((3,))}
+        st = mvs_tx.init(p)
+        up, _ = mvs_tx.update({"w": jnp.ones((3,))}, st, p)
+        return np.asarray(up["w"])
+
+    u_custom = first_update(opt)
+    u_fallback = first_update(opt_default)
+    # adam first step is sign(g)*lr: the ratio of updates is the ratio of lrs
+    np.testing.assert_allclose(u_custom / u_fallback,
+                               0.0001 / opt_default.lr, rtol=1e-5)
