@@ -485,7 +485,7 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
         if chunk_sharding is not None:
             stacked = {k: jax.device_put(v, chunk_sharding)
                        for k, v in stacked.items()}
-        if stack:
+        if stack and int(opt_used.SR_budget) != 0:
             # the wide program pools the compaction row space: explicit
             # budgets (rung 1's 2x value, or a user-set SR_budget) are
             # per-chunk numbers and scale by the group size; auto (-1)
@@ -495,6 +495,11 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                     SR_budget=int(opt_used.SR_budget) * len(pending))
             return trainer.eval_chunks_stacked(ts, grid, stacked, const_batch,
                                                opt_used, spec, prob=prob)
+        # budget-off rung (or stack=False): per-chunk lax.map bodies. The
+        # UNCOMPACTED wide program at production group shapes does not fit
+        # HBM (group 8 x 3600-ray chunks x SR=80: 85.7 GB requested,
+        # scripts/serving_probe.py) — chunk-sized uncompacted programs run
+        # fine, so the exactness rung renders chunk-at-a-time.
         return trainer.eval_chunks(ts, grid, stacked, const_batch, opt_used,
                                    spec, prob=prob)
 
@@ -510,8 +515,18 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
         nonlocal overflow, rung
         pending, outs, rung_used = inflight.popleft()
         while True:
-            over = np.asarray(outs.get("sr_overflow",
-                                       jnp.zeros((len(pending),), jnp.int32)))
+            # ONE batched device→host fetch per group: every per-key /
+            # per-chunk np.asarray slice was its own transfer, and through a
+            # remote-tunneled chip each costs a full round-trip (~15-25 ms) —
+            # 8 chunks x 2+ keys made the host drain ~7x the group's actual
+            # compute (measured 523 vs 70.8 ms/group at the campaign shell
+            # shapes, scripts/shell_serving_probe.py). device_get issues all
+            # copies async then waits once.
+            host = jax.device_get(
+                {k: outs[k] for k in keys if outs.get(k) is not None}
+                | {"sr_overflow": outs.get(
+                    "sr_overflow", jnp.zeros((len(pending),), jnp.int32))})
+            over = np.asarray(host.pop("sr_overflow"))
             dropped = int(sum(over[: len(pending)]))
             if dropped == 0 or rung_used == len(rungs) - 1:
                 break
@@ -521,10 +536,8 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
             outs = run_group(pending, rungs[rung_used])
         for ci, (sub, s, e) in enumerate(pending):
             px, py = pix[s:e, 0], pix[s:e, 1]
-            for key in keys:
-                if key not in outs or outs[key] is None:
-                    continue
-                arr = np.asarray(outs[key][ci][0], np.float32)
+            for key, full in host.items():
+                arr = np.asarray(full[ci][0], np.float32)
                 if arr.ndim == 1:
                     arr = arr[:, None]
                 arr = arr[: e - s]

@@ -77,6 +77,12 @@ def main():
                      ("stacked", trainer.eval_chunks_stacked)):
         for label, o in (("rung0_train_budget", opt),
                          ("rung2_budget_off", opt.replace(SR_budget=0))):
+            if mode == "stacked" and label == "rung2_budget_off":
+                # known HBM OOM at production group shapes (85.7 GB) — the
+                # production ladder renders its budget-off rung per-chunk
+                # (run/common.py::run_group); each OOM attempt burns ~3 min
+                # of remote compile, so skip it here
+                continue
             outs = fn(ts, grid, stacked, const_batch, o, spec)
             float(jnp.sum(outs["coarse_raycolor"]))
             t0 = time.perf_counter()
@@ -93,12 +99,18 @@ def main():
                 "sr_overflow": over}), flush=True)
 
     # ---- full image through the production path, both group modes
+    # (render twice: first pass pays compiles, second is steady state)
     for stack in (True, False):
         t0 = time.perf_counter()
         maps = render_image(ts, grid, opt, spec, item, group=args.group,
                             stack=stack)
+        dt_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        maps = render_image(ts, grid, opt, spec, item, group=args.group,
+                            stack=stack)
         dt = time.perf_counter() - t0
-        print(json.dumps({"stack": stack, "render_s": round(dt, 2),
+        print(json.dumps({"stack": stack, "render_s_cold": round(dt_cold, 2),
+                          "render_s_steady": round(dt, 2),
                           "krays_per_s": round(R / dt / 1e3, 1),
                           "finite": bool(np.isfinite(
                               maps["coarse_raycolor"]).all())}), flush=True)
