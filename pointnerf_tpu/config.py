@@ -47,6 +47,15 @@ class Options:
     gpu_ids: Tuple[int, ...] = _t(0)
     n_devices: int = 0
     mesh_points: int = 1
+    # SR_budget compaction groups along the ray axis (per batch row). 1 =
+    # one global budget (single-chip default). On a mesh the parallel
+    # factories set this to the ray-plane size so the compaction map, the
+    # compacted gathers and the whole shade/backward phase stay BLOCK-LOCAL
+    # to each ray shard — with a single global budget the compaction gather
+    # crosses ray-shard boundaries and GSPMD replicates the entire compacted
+    # phase on every device (round-5 finding: the MP/DP step's MLPs ran at
+    # the full global row count per device; scripts/mp_hlo_context.py).
+    comp_groups: int = 1
     debug: bool = False
     is_train: bool = True
     timestamp: bool = False

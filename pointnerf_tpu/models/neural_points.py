@@ -178,6 +178,12 @@ def gather_neighbors(state: Dict, sample_pidx: jnp.ndarray,
     """
     B = sample_pidx.shape[0]
     shape = sample_pidx.shape
+    if campos.shape[0] != B:
+        # comp_groups: the compacted leading dim is B·G (G ray groups per
+        # camera) — tile the per-camera poses over the group axis
+        rep = B // campos.shape[0]
+        campos = jnp.repeat(campos, rep, axis=0)
+        camrotc2w = jnp.repeat(camrotc2w, rep, axis=0)
     safe = jnp.maximum(sample_pidx, 0).reshape(-1)  # flat 1-D: fast gather path
     pnt_mask = sample_pidx >= 0
 

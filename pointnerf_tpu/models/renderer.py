@@ -119,7 +119,7 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
     sample_pidx, sample_loc_w, ray_mask, q_overflow, comp = query_grid_points(
         campos, raydir, mid_ts,
         jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
-        SR=opt.SR, K=opt.K, Nc=Nc)
+        SR=opt.SR, K=opt.K, Nc=Nc, G=int(getattr(opt, "comp_groups", 1)))
     return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
                     ray_mask, None, q_overflow, comp)
 
@@ -163,11 +163,12 @@ def render_shade(agg_params: Dict,
         # indices, so the map is derived here.
         RS = R * SR
         if q_comp is not None:
-            # per-batch-row compaction from the query (see query_grid_points):
-            # comp_src/comp_valid [B,Ncb], c_pidx [B,Ncb,K]
+            # per-batch-row (and per-ray-group, comp_groups > 1) compaction
+            # from the query (see query_grid_points): comp_src/comp_valid
+            # [B·G,Ncb], c_pidx [B·G,Ncb,K]
             comp_src, comp_valid, c_pidx_mat, ray_valid = q_comp
             Ncb = comp_src.shape[1]
-            c_pidx = c_pidx_mat[:, :, None, :]                     # [B,Ncb,1,K]
+            c_pidx = c_pidx_mat[:, :, None, :]                    # [BG,Ncb,1,K]
         else:
             Ncb = -(-Nc // B)
             vmat = jnp.any(sample_pidx >= 0, axis=-1).reshape(B, RS)
@@ -182,15 +183,32 @@ def render_shade(agg_params: Dict,
             ray_valid = jnp.any(sample_pidx >= 0, axis=-1)
             q_overflow = jnp.sum(jnp.maximum(cum[:, -1] - Ncb, 0)) + q_overflow
 
-        goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]      # [B,1]
-        gsrc = (comp_src + goff).reshape(-1)                       # [B·Ncb]
+        BG = comp_src.shape[0]
+        G = BG // B
+        rows_g = RS // G
 
-        def compact(a, fill=0):
-            flat = a.reshape((S,) + a.shape[3:])
-            out = flat[gsrc]
-            return jnp.where(
-                comp_valid.reshape((B * Ncb,) + (1,) * (out.ndim - 1)),
-                out, fill).reshape((B, Ncb, 1) + a.shape[3:])
+        if G == 1:
+            goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]  # [B,1]
+            gsrc = (comp_src + goff).reshape(-1)                   # [B·Ncb]
+
+            def compact(a, fill=0):
+                flat = a.reshape((S,) + a.shape[3:])
+                out = flat[gsrc]
+                return jnp.where(
+                    comp_valid.reshape((B * Ncb,) + (1,) * (out.ndim - 1)),
+                    out, fill).reshape((B, Ncb, 1) + a.shape[3:])
+        else:
+            # comp_groups: batched per-group gather — every index stays in
+            # its group's row block, so GSPMD partitions the gather (and the
+            # whole compacted shade phase below) over the ray shards instead
+            # of replicating it (scripts/mp_hlo_context.py)
+            def compact(a, fill=0):
+                blk = a.reshape((BG, rows_g) + a.shape[3:])
+                idx = comp_src.reshape((BG, Ncb) + (1,) * (blk.ndim - 2))
+                out = jnp.take_along_axis(blk, idx, axis=1)
+                return jnp.where(
+                    comp_valid.reshape((BG, Ncb) + (1,) * (blk.ndim - 2)),
+                    out, fill).reshape((BG, Ncb, 1) + a.shape[3:])
 
         if q_comp is None:
             c_pidx = compact(sample_pidx, fill=-1)
@@ -208,16 +226,34 @@ def render_shade(agg_params: Dict,
         # scatter is provably unique — without the hint XLA lowers it as a
         # sort-based scatter (profiled ~4 ms/step for the decoded values
         # alone)
-        scat_idx = jnp.where(
-            comp_valid, comp_src + goff,
-            S + jnp.arange(B * Ncb, dtype=jnp.int32).reshape(B, Ncb)
-        ).reshape(-1)
+        if G == 1:
+            scat_idx = jnp.where(
+                comp_valid, comp_src + goff,
+                S + jnp.arange(B * Ncb, dtype=jnp.int32).reshape(B, Ncb)
+            ).reshape(-1)
 
-        def scatter_back(c):
-            flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[scat_idx].set(
-                c.reshape((B * Ncb,) + c.shape[3:]), mode="drop",
-                unique_indices=True)
-            return flat.reshape((B, R, SR) + c.shape[3:])
+            def scatter_back(c):
+                flat = jnp.zeros((S,) + c.shape[3:], c.dtype).at[
+                    scat_idx].set(
+                    c.reshape((B * Ncb,) + c.shape[3:]), mode="drop",
+                    unique_indices=True)
+                return flat.reshape((B, R, SR) + c.shape[3:])
+        else:
+            # per-group scatters (vmapped over B·G): indices stay inside
+            # each group's row block — partitions like the gather above
+            scat_idx_g = jnp.where(
+                comp_valid, comp_src,
+                rows_g + jnp.arange(Ncb, dtype=jnp.int32)[None])   # [BG,Ncb]
+
+            def scatter_back(c):
+                upd = c.reshape((BG, Ncb) + c.shape[3:])
+
+                def one(idx, u):
+                    return jnp.zeros((rows_g,) + u.shape[1:], c.dtype).at[
+                        idx].set(u, mode="drop", unique_indices=True)
+
+                return jax.vmap(one)(scat_idx_g, upd).reshape(
+                    (B, R, SR) + c.shape[3:])
 
         decoded = scatter_back(c_decoded)
         weight = scatter_back(c_weight)
@@ -237,7 +273,7 @@ def render_shade(agg_params: Dict,
             "weight_compact": jax.lax.stop_gradient(c_weight),
             # broadcast-shaped against conf_compact so a stacked leading
             # chunk axis (trainer ray_chunk lax.map) broadcasts too
-            "compact_valid": comp_valid.reshape(B, Ncb, 1, 1),
+            "compact_valid": comp_valid.reshape(BG, Ncb, 1, 1),
             "zero_one_total": jnp.int32(S * c_conf.shape[-1]),
         }
     else:

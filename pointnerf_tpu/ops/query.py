@@ -353,10 +353,11 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     return jnp.where(best_d < BIG, best_i, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "SR", "K", "Nc"))
+@functools.partial(jax.jit, static_argnames=("spec", "SR", "K", "Nc", "G"))
 def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
                       tvals: jnp.ndarray, xyz: jnp.ndarray, grid,
-                      spec: GridSpec, SR: int, K: int, Nc: int = 0):
+                      spec: GridSpec, SR: int, K: int, Nc: int = 0,
+                      G: int = 1):
     """Full query pipeline (reference host orchestration cu:305-433, uncompacted).
 
     campos [B,3], raydir [B,R,3], tvals [B,R,D] jittered ray-march depths
@@ -373,11 +374,25 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
              ray_mask [B,R] bool, q_overflow [] int32, comp).
     When Nc is active sample_pidx is None and comp = (comp_src [B,Ncb],
     comp_valid [B,Ncb], c_pidx [B,Ncb,K], row_valid [B,R,SR]) with
-    Ncb = ceil(Nc/B) — compaction is PER BATCH ROW (each camera's rows pack
-    into its own budget slice), so multi-camera batches and batch-axis data
-    parallelism keep the per-row camera association and the cumsum never
-    crosses a batch boundary. For B == 1 the program is identical to a flat
-    compaction. The shade phase consumes the compacted indices directly.
+    Ncb = ceil(Nc/(B·G)) — compaction is PER BATCH ROW (each camera's rows
+    pack into its own budget slice), so multi-camera batches and batch-axis
+    data parallelism keep the per-row camera association and the cumsum never
+    crosses a batch boundary. For B == 1, G == 1 the program is identical to
+    a flat compaction. The shade phase consumes the compacted indices
+    directly.
+
+    G > 1 (opt.comp_groups — set to the mesh's ray-plane size by the
+    parallel factories): each batch row's R rays split into G contiguous
+    groups, each compacted into its own Ncb budget slice, and the comp
+    leaves carry a [B·G, ...] leading dim. Every gather/scatter between the
+    row space and the compacted space is then a BATCHED op over the group
+    axis — block-local to a ray shard — so GSPMD keeps the whole shade +
+    backward phase partitioned over the mesh. (With one global budget the
+    compaction gather's arbitrary cross-shard indices force GSPMD to
+    replicate the entire compacted phase per device — measured as
+    full-global-row-count MLPs in the partitioned HLO,
+    scripts/mp_hlo_context.py.) When the budget covers all valid rows the
+    computed row SET is identical to G == 1; only the packing differs.
     """
     raypos = campos[:, None, None, :] + raydir[:, :, None, :] * tvals[..., None]
     rp_valid = mask_raypos(raypos, grid, spec)
@@ -397,24 +412,40 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
         return knn_neighbors(loc, mask, xyz, grid, spec, K)
 
     if 0 < Nc < S:
-        Ncb = -(-Nc // B)
+        G = max(1, G)
+        if R % G:
+            raise ValueError(
+                f"comp_groups={G} must divide the per-camera ray count "
+                f"R={R} (the ray-plane mesh size divides any pow2 chunk)")
+        BG, Rg = B * G, R // G
+        Ncb = -(-Nc // BG)
         # two-level offsets: per-ray counts came free from select_shading_t,
-        # so the compaction map needs only a [B,R] cumsum — no R·SR-long
+        # so the compaction map needs only a [B·G,R/G] cumsum — no R·SR-long
         # lane cumsum (lane-axis scans over 288k elements were ~0.5 ms)
-        comp_src, comp_valid, n_total = compact_row_map(counts, Ncb, SR)
-        # flat row gather with per-batch offsets (take_along_axis lowers to
-        # per-element gathers; the flat 2-D form is the fast path)
-        goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]      # [B,1]
-        c_loc = sample_loc_w.reshape(S, 3)[
-            (comp_src + goff).reshape(-1)].reshape(B, Ncb, 3)
+        comp_src, comp_valid, n_total = compact_row_map(
+            counts.reshape(BG, Rg), Ncb, SR)
+        if G == 1:
+            # flat row gather with per-batch offsets (take_along_axis lowers
+            # to per-element gathers; the flat 2-D form is the fast path on
+            # a single chip)
+            goff = (jnp.arange(B, dtype=jnp.int32) * RS)[:, None]  # [B,1]
+            c_loc = sample_loc_w.reshape(S, 3)[
+                (comp_src + goff).reshape(-1)].reshape(B, Ncb, 3)
+        else:
+            # batched (per-group) gather: indices stay within each group's
+            # row block, so GSPMD partitions it as a purely local gather per
+            # ray shard — the point of comp_groups
+            blk = sample_loc_w.reshape(BG, Rg * SR, 3)
+            c_loc = jnp.take_along_axis(blk, comp_src[..., None], axis=1)
         c_pidx = knn(c_loc[:, :, None, :],
-                     comp_valid[:, :, None])                       # [B,Ncb,1,K]
+                     comp_valid[:, :, None])                      # [BG,Ncb,1,K]
         c_pidx = jnp.where(comp_valid[..., None], c_pidx[:, :, 0], -1)
         # rows with ≥1 neighbor, scattered back to full shape (ONE scalar
-        # scatter per row; the [B,Ncb,K] indices themselves stay compacted
+        # scatter per row; the [BG,Ncb,K] indices themselves stay compacted
         # and flow straight into the shade phase's gathers)
-        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)         # [B,Ncb]
-        row_valid = scatter_row_valid(comp_src, comp_valid, c_has, R, SR)
+        c_has = comp_valid & jnp.any(c_pidx >= 0, axis=-1)         # [BG,Ncb]
+        row_valid = scatter_row_valid(comp_src, comp_valid, c_has,
+                                      Rg, SR).reshape(B, R, SR)
         ray_mask = jnp.any(row_valid, axis=-1)
         q_overflow = jnp.sum(jnp.maximum(n_total - Ncb, 0))
         comp = (comp_src, comp_valid, c_pidx, row_valid)

@@ -23,6 +23,17 @@ from ..train import trainer
 from .mesh import batch_pspec
 
 
+def _with_comp_groups(opt, mesh: Mesh):
+    """Set opt.comp_groups to the mesh's ray-axis size so the SR_budget
+    compaction is blocked per ray shard — without it the compacted shade +
+    backward phase (the step's dominant compute) REPLICATES on every device
+    (round-5 finding; see Options.comp_groups and query_grid_points)."""
+    g = int(mesh.shape.get("rays", 1))
+    if int(getattr(opt, "comp_groups", 1)) != 1 or g <= 1:
+        return opt  # explicit user value wins; single-ray-shard meshes noop
+    return opt.replace(comp_groups=g)
+
+
 def make_dp_train_step(opt, spec, mesh: Mesh, example_batch: Dict):
     """Jitted train step with explicit shardings for `mesh`.
 
@@ -34,7 +45,8 @@ def make_dp_train_step(opt, spec, mesh: Mesh, example_batch: Dict):
     repl = NamedSharding(mesh, P())
     bspec = {k: NamedSharding(mesh, s) for k, s in batch_pspec(example_batch).items()}
 
-    fn = functools.partial(trainer.train_step_impl, opt=opt, spec=spec)
+    fn = functools.partial(trainer.train_step_impl,
+                           opt=_with_comp_groups(opt, mesh), spec=spec)
     return jax.jit(
         fn,
         in_shardings=(repl, repl, bspec, repl),
@@ -52,5 +64,7 @@ def make_dp_eval_step(opt, spec, mesh: Mesh, example_batch: Dict, prob: bool = F
     repl = NamedSharding(mesh, P())
     bspec = {k: NamedSharding(mesh, s) for k, s in batch_pspec(example_batch).items()}
 
-    fn = functools.partial(trainer.eval_step_impl, opt=opt, spec=spec, prob=prob)
+    fn = functools.partial(trainer.eval_step_impl,
+                           opt=_with_comp_groups(opt, mesh), spec=spec,
+                           prob=prob)
     return jax.jit(fn, in_shardings=(repl, repl, bspec))

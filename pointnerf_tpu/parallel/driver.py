@@ -117,8 +117,10 @@ class MeshRunner:
                 for k, s in batch_pspec(batch, leading=leading).items()}
         impl = trainer.train_step_impl if kind == "step" \
             else trainer.train_steps_scan_impl
+        from .dp import _with_comp_groups
         fn = jax.jit(
-            functools.partial(impl, opt=opt, spec=spec),
+            functools.partial(impl, opt=_with_comp_groups(opt, self.mesh),
+                              spec=spec),
             in_shardings=(ts_sh, g_sh, b_sh, self._repl),
             out_shardings=(ts_sh, self._repl),
         )

@@ -87,7 +87,9 @@ def make_mp_train_step(opt, spec, mesh: Mesh, example_batch: Dict,
     b_sh = {k: NamedSharding(mesh, s)
             for k, s in batch_pspec(example_batch).items()}
 
-    fn = functools.partial(trainer.train_step_impl, opt=opt, spec=spec)
+    from .dp import _with_comp_groups
+    fn = functools.partial(trainer.train_step_impl,
+                           opt=_with_comp_groups(opt, mesh), spec=spec)
     return jax.jit(fn,
                    in_shardings=(ts_sh, g_sh, b_sh, repl),
                    out_shardings=(ts_sh, repl))
@@ -100,6 +102,8 @@ def make_mp_eval_step(opt, spec, mesh: Mesh, example_batch: Dict,
     g_sh = grid_shardings(example_grid, spec, mesh)
     b_sh = {k: NamedSharding(mesh, s)
             for k, s in batch_pspec(example_batch).items()}
-    fn = functools.partial(trainer.eval_step_impl, opt=opt, spec=spec,
+    from .dp import _with_comp_groups
+    fn = functools.partial(trainer.eval_step_impl,
+                           opt=_with_comp_groups(opt, mesh), spec=spec,
                            prob=prob)
     return jax.jit(fn, in_shardings=(ts_sh, g_sh, b_sh))

@@ -450,6 +450,11 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
         # jit rejects the mix)
         plane = int(np.prod([mesh.shape[a] for a in ("batch", "rays")]))
         assert chunk % plane == 0, (chunk, plane)
+        if int(getattr(opt, "comp_groups", 1)) == 1 and plane > 1:
+            # block the compaction per ray shard of the wide program (the
+            # stacked chunk axis shards over the full batch x rays plane) —
+            # see Options.comp_groups
+            opt = opt.replace(comp_groups=plane)
         chunk_sharding = NamedSharding(mesh, P(None, None, ("batch", "rays")))
         repl = NamedSharding(mesh, P())
         const_batch = {k: (jax.device_put(v, repl) if hasattr(v, "ndim") else v)
@@ -485,7 +490,7 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
         if chunk_sharding is not None:
             stacked = {k: jax.device_put(v, chunk_sharding)
                        for k, v in stacked.items()}
-        if stack and int(opt_used.SR_budget) != 0:
+        if stack and int(opt_used.SR_budget) != 0 and not prob:
             # the wide program pools the compaction row space: explicit
             # budgets (rung 1's 2x value, or a user-set SR_budget) are
             # per-chunk numbers and scale by the group size; auto (-1)
@@ -495,11 +500,15 @@ def render_image(ts, grid, opt, spec, item: Dict, prob: bool = False,
                     SR_budget=int(opt_used.SR_budget) * len(pending))
             return trainer.eval_chunks_stacked(ts, grid, stacked, const_batch,
                                                opt_used, spec, prob=prob)
-        # budget-off rung (or stack=False): per-chunk lax.map bodies. The
-        # UNCOMPACTED wide program at production group shapes does not fit
-        # HBM (group 8 x 3600-ray chunks x SR=80: 85.7 GB requested,
-        # scripts/serving_probe.py) — chunk-sized uncompacted programs run
-        # fine, so the exactness rung renders chunk-at-a-time.
+        # budget-off rung, prob mode, or stack=False: per-chunk lax.map
+        # bodies. UNCOMPACTED wide programs at production group shapes do
+        # not fit HBM (group 8 x 3600-ray chunks x SR=80: 85.7 GB,
+        # scripts/serving_probe.py; the prob render — always uncompacted,
+        # renderer.render_query — hit 39.6 GB at the plate campaign via a
+        # 16x-padded remat copy of the [1,28800,24,8,42] gather) —
+        # chunk-sized uncompacted programs run fine, so these render
+        # chunk-at-a-time. Probe renders fire every prob_freq=2000 steps;
+        # per-chunk dispatch there is noise.
         return trainer.eval_chunks(ts, grid, stacked, const_batch, opt_used,
                                    spec, prob=prob)
 

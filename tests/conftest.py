@@ -67,6 +67,8 @@ _SLOW_TESTS = {
     "test_fused_trunk_bf16_close_to_f32",
     "test_gen_points_multi_depth_view",
     "test_overfit_decreases_loss",
+    "test_comp_groups_matches_global_compaction",
+    "test_comp_groups_shards_shade_phase",
 }
 
 

@@ -197,3 +197,55 @@ def test_render_image_mesh_serving_matches_single_chip(scene):
     np.testing.assert_allclose(out_mp["coarse_raycolor"],
                                ref["coarse_raycolor"], rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(out_mp["ray_mask"], ref["ray_mask"])
+
+
+def test_comp_groups_matches_global_compaction(scene):
+    """comp_groups=G computes the same row SET as the global budget when
+    every group's slice covers its valid rows — outputs identical (see
+    Options.comp_groups / query_grid_points G doc)."""
+    opt, state, spec, grid, batch = scene
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for G in (1, 2, 4):
+        o = opt.replace(SR_budget=511, comp_groups=G)
+        ts0 = trainer.create_train_state(o, jax.random.PRNGKey(3), state)
+        ts1, items = trainer.train_step(ts0, grid, batch, key, o, spec)
+        assert int(items["sr_overflow"]) == 0, G
+        out = trainer.eval_step(ts0, grid, batch, o, spec)
+        outs[G] = (items, out)
+    for G in (2, 4):
+        for k in outs[1][0]:
+            np.testing.assert_allclose(
+                np.asarray(outs[G][0][k]), np.asarray(outs[1][0][k]),
+                rtol=2e-5, atol=2e-6, err_msg=f"G={G} {k}")
+        np.testing.assert_allclose(
+            np.asarray(outs[G][1]["coarse_raycolor"]),
+            np.asarray(outs[1][1]["coarse_raycolor"]), rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(outs[G][1]["ray_mask"]),
+            np.asarray(outs[1][1]["ray_mask"]))
+
+
+def test_comp_groups_shards_shade_phase(scene):
+    """Scaling regression: with comp_groups set (as the parallel factories
+    do), the partitioned DP program's compacted-phase matmuls run at
+    per-shard row counts — NOT the global row count. Without blocked
+    compaction GSPMD replicated the whole shade+backward phase per device
+    (round-5 finding, scripts/mp_hlo_context.py)."""
+    import re
+    opt, state, spec, grid, batch = scene
+    o = opt.replace(SR_budget=511)
+    ts0 = trainer.create_train_state(o, jax.random.PRNGKey(3), state)
+    mesh = make_mesh(8, batch_size=1)
+    ts_m = replicate(ts0, mesh)
+    grid_m = replicate(grid, mesh)
+    batch_m = shard_batch(batch, mesh)
+    step = make_dp_train_step(o, spec, mesh, batch_m)
+    txt = step.lower(ts_m, grid_m, batch_m,
+                     replicate(jax.random.PRNGKey(7), mesh)).compile().as_text()
+    # compacted rows: global Ncb*K = 511*4 = 2044; per shard ~ 256.
+    # The trunk matmuls ([rows, shading_feature_num=32]) must be local-sized.
+    rows = [int(m) for m in re.findall(r"f32\[(\d+),32\]\{[^}]*\} dot", txt)]
+    assert rows, "no trunk dots found in partitioned HLO"
+    assert max(rows) <= 520, \
+        f"shade-phase dot at {max(rows)} rows — compacted phase replicated?"
