@@ -296,6 +296,10 @@ class Options:
                                            # bound (BASELINE.md round 4) — so full
                                            # precision stays the default.
                                            # Bench A/B at lego shapes: 60.0k -> 72.2k rays/s.
+    trunk_tile: int = 512                  # rows per fused-kernel VMEM tile. Tiles > 512
+                                           # raise Mosaic's scoped-VMEM limit automatically
+                                           # (the 16 MB default rejected tile 1024 in
+                                           # round 4; v5e has 128 MB physical VMEM).
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

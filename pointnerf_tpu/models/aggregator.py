@@ -351,7 +351,8 @@ def aggregator_forward(params: Dict, opt,
         feat_pt, alpha_pt, w_row, conf_row = fused_shade(
             opt.shading_feature_mlp_layer1, opt.shading_feature_mlp_layer3,
             opt.num_feat_freqs, abs(opt.dist_xyz_freq), K,
-            opt.act_super > 0, 512, interp, order1, opt.agg_dist_pers,
+            opt.act_super > 0, int(getattr(opt, 'trunk_tile', 512)),
+            interp, order1, opt.agg_dist_pers,
             sampled_embedding.reshape(-1, Fd),
             sampled_xyz.reshape(-1, 3), sampled_xyz_pers.reshape(-1, 3),
             sampled_color.reshape(-1, 3), sampled_dir.reshape(-1, 3),
@@ -433,7 +434,9 @@ def aggregator_forward(params: Dict, opt,
                 opt.shading_feature_mlp_layer1,
                 opt.shading_feature_mlp_layer3,
                 opt.num_feat_freqs, abs(opt.dist_xyz_freq),
-                K, opt.act_super > 0, 512, interp, bf16, order1,
+                K, opt.act_super > 0,
+                int(getattr(opt, 'trunk_tile', 512)), interp, bf16,
+                order1,
                 sampled_embedding.reshape(-1, Fd),
                 d_raw.reshape(-1, ddc), ex3,
                 w_eff.reshape(-1, 1), ops)

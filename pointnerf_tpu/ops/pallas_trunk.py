@@ -295,6 +295,20 @@ def _pe_consts(F_emb, dd, n_feat_freqs, n_dist_freqs):
             jnp.asarray(pd[None]))
 
 
+def _compiler_params(tile: int):
+    """Raise Mosaic's scoped-VMEM ceiling for tiles beyond 512 rows.
+
+    The 16 MB default rejected tile 1024 in round 4 ("17.26M > 16M"); v5e
+    carries 128 MB of physical VMEM, so larger tiles are a legal trade —
+    whether they pay is an A/B question (scripts/shade_micro.py). Tile 512
+    keeps compiler_params=None so the shipped default programs (and their
+    compile-cache entries) are byte-identical to round 4's."""
+    if tile <= 512:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(100 * 2**20, 24 * 2**20 * (tile // 512)))
+
+
 def _pad_rows(x, T):
     padn = (-x.shape[0]) % T
     if padn:
@@ -356,6 +370,7 @@ def _fused_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(tile),
     )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops)
     if order1:
         return outs[0][:S // K], None
@@ -410,6 +425,7 @@ def _fused_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, bf16,
              jax.ShapeDtypeStruct((Sp, 1), jnp.float32)]
             + [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in ops]),
         interpret=interpret,
+        compiler_params=_compiler_params(tile),
     )(embp, dp, ex3p, wp, Se, pe, Sd, pd, *ops, *cts_in)
     demb, ddists, dex3, dw = (outs[0][:S], outs[1][:S], outs[2][:S],
                               outs[3][:S])
@@ -720,6 +736,7 @@ def _shade_fwd_impl(L1, L3, nf, nd, K, act_super, tile, interpret, order1,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=_compiler_params(tile),
     )(*rowp, *grpp, RT, Se, pe, Sd, pd, *ops)
     if order1:
         feat, w_n, conf_c = outs
@@ -792,6 +809,7 @@ def _shade_bwd_rule(L1, L3, nf, nd, K, act_super, tile, interpret, order1,
             + [jax.ShapeDtypeStruct((Sp, 1), jnp.float32)]
             + [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in ops]),
         interpret=interpret,
+        compiler_params=_compiler_params(tile),
     )(*rowp, *grpp, RT, Se, pe, Sd, pd, *ops, *cts_in)
     demb = outs[0][:S]
     dxyz, dxyzp, dcolor, ddir = (o[:S] for o in outs[1:5])
