@@ -283,11 +283,15 @@ class Options:
                                            # when the aggregator config qualifies
                                            # (fused_trunk_ok); 0 = off; 1 = force (asserts
                                            # the config, interpret-mode on CPU — slow).
-    fused_shade: int = -1                  # v2 Pallas shade kernel: dists + linear
+    fused_shade: int = 0                   # v2 Pallas shade kernel: dists + linear
                                            # weights + conf clamp + trunk in ONE kernel
                                            # with per-attribute cotangent outputs
-                                           # (fused_shade_ok envelope). -1 = auto (TPU),
-                                           # 0 = off (fall back to use_fused_trunk),
+                                           # (fused_shade_ok envelope). 0 = off (default:
+                                           # measured NEUTRAL at bench shapes in round 4
+                                           # and ~2% SLOWER than the v1 trunk under the
+                                           # round-5 K-tier split — the in-kernel scatter
+                                           # it was built to host is a measured dead end,
+                                           # BASELINE.md round 5), -1 = auto (TPU),
                                            # 1 = force (interpret on CPU — tests).
     trunk_dtype: str = "float32"           # MXU operand dtype INSIDE the fused trunk.
                                            # "bfloat16" (f32 accumulate) measured ZERO
@@ -296,10 +300,26 @@ class Options:
                                            # bound (BASELINE.md round 4) — so full
                                            # precision stays the default.
                                            # Bench A/B at lego shapes: 60.0k -> 72.2k rays/s.
-    trunk_tile: int = 512                  # rows per fused-kernel VMEM tile. Tiles > 512
+    trunk_tile: int = 768                  # rows per fused-kernel VMEM tile. Tiles > 512
                                            # raise Mosaic's scoped-VMEM limit automatically
                                            # (the 16 MB default rejected tile 1024 in
                                            # round 4; v5e has 128 MB physical VMEM).
+                                           # A/B at bench shapes: 512 → 768 is +1%;
+                                           # 1024 fails to compile (remote helper 500).
+    k_tier: int = -1                       # neighbor-count tiering of the compacted shade
+                                           # phase: compacted rows whose valid neighbors all
+                                           # fit in the first k_tier slots run a narrow
+                                           # K=k_tier aggregator; the rest run the full-K
+                                           # one. Exact (tier assignment is a partition;
+                                           # tested). Measured mean valid neighbors at bench
+                                           # shapes is 1.35 of K=8 — the single-tier kernel
+                                           # spends ~5x its rows on masked zeros. -1 = auto
+                                           # (1 when compaction is active), 0 = off.
+    k_tier_wide_frac: float = 0.25         # wide-tier row budget as a fraction of the
+                                           # compaction budget (narrow tier always gets the
+                                           # full budget — it cannot overflow). Wide-tier
+                                           # overflow counts into sr_overflow (driver raises
+                                           # / serving ladder escalates, like SR_budget).
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

@@ -21,7 +21,124 @@ from ..ops.camera import w2pers
 from ..ops.grid import GridSpec
 from ..ops.query import query_grid_points
 from . import neural_points as npc
-from .aggregator import aggregator_forward
+from .aggregator import aggregator_forward, gradient_clamp
+
+
+def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
+                      c_loc, c_loc_w, c_srd, camrotc2w, campos, kt,
+                      compute_dtype):
+    """Two-tier neighbor-count split of the compacted shade phase.
+
+    Measured at bench shapes, the mean number of valid neighbors per
+    compacted shading row is 1.35 of K=8 (17% slot occupancy): a single
+    full-K aggregator spends ~5x its rows on masked zeros, and the
+    attribute gather and its backward scatter-add move 5x the live rows.
+    Rows whose valid neighbors all sit in the first `kt` slots (KNN
+    validity is a prefix: missing candidates carry BIG distances, so
+    top_k orders them last) run a K=kt aggregator over the full row
+    budget (which therefore cannot overflow); the remaining rows run the
+    full-K aggregator over a k_tier_wide_frac budget, with overflow
+    counted into sr_overflow (driver raise / serving-ladder semantics,
+    like SR_budget).
+
+    Exact by construction: the tiers partition the rows, per-row outputs
+    are independent, truncated weight slots are zeros exactly as the
+    masked single-tier slots were, and the conf value the zero_one loss
+    sees at masked slots (the safe-index-0 gather, i.e. point slot 0's
+    clamped conf) is reproduced explicitly — including its gradient onto
+    point slot 0. The reference aggregates dynamically-compacted rows at
+    full K always (point_aggregators.py:521-643); this split is a
+    TPU static-shape optimization with no reference analog.
+
+    c_pidx [BG,Ncb,K]; c_loc/c_loc_w/c_srd [BG,Ncb,1,3].
+    Returns (c_decoded [BG,Ncb,1,4], c_weight [BG,Ncb,1,K],
+    c_conf [BG,Ncb,1,K], wide_overflow []).
+    """
+    BG, Ncb, Kn = c_pidx.shape
+    slot_valid = c_pidx >= 0
+    wide = jnp.any(slot_valid[..., kt:], axis=-1)               # [BG,Ncb]
+    mA = comp_valid & jnp.any(slot_valid[..., :kt], axis=-1) & ~wide
+    mB = comp_valid & wide
+
+    iot = jnp.arange(Ncb, dtype=jnp.int32)
+
+    def tier_map(m, Nt):
+        cum = jnp.cumsum(m.astype(jnp.int32), axis=1)           # [BG,Ncb]
+        rank = jnp.where(m & (cum <= Nt), cum - 1, Nt + 1 + iot[None])
+        src = jax.vmap(
+            lambda r: jnp.zeros((Nt + 1,), jnp.int32).at[r].set(
+                iot, mode="drop", unique_indices=True)[:Nt])(rank)
+        valid = jnp.arange(Nt, dtype=jnp.int32)[None] < jnp.minimum(
+            cum[:, -1:], Nt)
+        overflow = jnp.sum(jnp.maximum(cum[:, -1] - Nt, 0))
+        return src, valid, overflow
+
+    frac = float(getattr(opt, "k_tier_wide_frac", 0.25))
+    NtB = min(Ncb, max(128, int(round(Ncb * frac))))
+    srcA, validA, _ = tier_map(mA, Ncb)          # full budget: no overflow
+    srcB, validB, ovB = tier_map(mB, NtB)
+
+    def take_rows(a, src, valid, fill):
+        idx = src.reshape(src.shape + (1,) * (a.ndim - 2))
+        out = jnp.take_along_axis(a, idx, axis=1)
+        return jnp.where(
+            valid.reshape(valid.shape + (1,) * (a.ndim - 2)), out, fill)
+
+    def run_tier(src, valid, Ktier):
+        tp = take_rows(c_pidx, src, valid, -1)[..., :Ktier]     # [BG,Nt,Kt]
+        g = npc.gather_neighbors(point_state, tp[:, :, None, :],
+                                 camrotc2w, campos)
+        dec, _, w_t, cf_t = aggregator_forward(
+            agg_params, opt,
+            g["sampled_color"], g["Rw2c"], g["sampled_dir"],
+            g["sampled_conf"], g["sampled_embedding"],
+            g["sampled_xyz_pers"], g["sampled_xyz"],
+            g["sample_pnt_mask"],
+            take_rows(c_loc, src, valid, 0.0),
+            take_rows(c_loc_w, src, valid, 0.0),
+            take_rows(c_srd, src, valid, 0.0),
+            spec.vsize, compute_dtype=compute_dtype)
+        return dec, w_t, cf_t
+
+    decA, wA, cfA = run_tier(srcA, validA, kt)
+    decB, wB, cfB = run_tier(srcB, validB, Kn)
+
+    # masked-slot conf as the single-tier computation sees it: the gather's
+    # safe index is 0, so every invalid slot carries point slot 0's clamped
+    # conf — with a live gradient onto it through the zero_one loss
+    conf = point_state.get("conf")
+    if conf is not None:
+        conf0 = gradient_clamp(conf[0, 0], 0.0001, 1.0)
+    else:
+        conf0 = jnp.float32(1.0)
+
+    padK = Kn - kt
+    wA = jnp.concatenate(
+        [wA, jnp.zeros(wA.shape[:-1] + (padK,), wA.dtype)], axis=-1)
+    cfA = jnp.concatenate(
+        [cfA, jnp.broadcast_to(conf0, cfA.shape[:-1] + (padK,)
+                               ).astype(cfA.dtype)], axis=-1)
+
+    def tier_scatter(base, src, valid, vals):
+        Nt = src.shape[1]
+        oob = Ncb + 1 + jnp.arange(Nt, dtype=jnp.int32)
+        idx = jnp.where(valid, src, oob[None])
+
+        def one(b, ix, v):
+            return b.at[ix].set(v, mode="drop", unique_indices=True)
+
+        return jax.vmap(one)(base, idx, vals)
+
+    zero4 = jnp.zeros((BG, Ncb, 1, decA.shape[-1]), decA.dtype)
+    c_decoded = tier_scatter(tier_scatter(zero4, srcA, validA, decA),
+                             srcB, validB, decB)
+    zeroW = jnp.zeros((BG, Ncb, 1, Kn), wA.dtype)
+    c_weight = tier_scatter(tier_scatter(zeroW, srcA, validA, wA),
+                            srcB, validB, wB)
+    base_cf = jnp.broadcast_to(conf0, (BG, Ncb, 1, Kn)).astype(jnp.float32)
+    c_conf = tier_scatter(tier_scatter(base_cf, srcA, validA, cfA),
+                          srcB, validB, cfB)
+    return c_decoded, c_weight, c_conf, ovB
 
 
 def effective_sr_budget(opt, rows: int) -> int:
@@ -212,14 +329,29 @@ def render_shade(agg_params: Dict,
 
         if q_comp is None:
             c_pidx = compact(sample_pidx, fill=-1)
-        g = npc.gather_neighbors(point_state, c_pidx, camrotc2w, campos)
-        c_decoded, _, c_weight, c_conf = aggregator_forward(
-            agg_params, opt,
-            g["sampled_color"], g["Rw2c"], g["sampled_dir"], g["sampled_conf"],
-            g["sampled_embedding"], g["sampled_xyz_pers"], g["sampled_xyz"],
-            g["sample_pnt_mask"], compact(sample_loc),
-            compact(sample_loc_w), compact(sample_ray_dirs),
-            spec.vsize, compute_dtype=compute_dtype)
+        c_loc = compact(sample_loc)
+        c_loc_w = compact(sample_loc_w)
+        c_srd = compact(sample_ray_dirs)
+
+        kt = int(getattr(opt, "k_tier", 0))
+        if kt < 0:
+            kt = 1
+        Kn = c_pidx.shape[-1]
+        if 0 < kt < Kn:
+            c_decoded, c_weight, c_conf, t_overflow = _tiered_aggregate(
+                agg_params, point_state, opt, spec, c_pidx[:, :, 0, :],
+                comp_valid, c_loc, c_loc_w, c_srd, camrotc2w, campos, kt,
+                compute_dtype)
+            q_overflow = q_overflow + t_overflow
+        else:
+            g = npc.gather_neighbors(point_state, c_pidx, camrotc2w, campos)
+            c_decoded, _, c_weight, c_conf = aggregator_forward(
+                agg_params, opt,
+                g["sampled_color"], g["Rw2c"], g["sampled_dir"],
+                g["sampled_conf"], g["sampled_embedding"],
+                g["sampled_xyz_pers"], g["sampled_xyz"],
+                g["sample_pnt_mask"], c_loc, c_loc_w, c_srd,
+                spec.vsize, compute_dtype=compute_dtype)
 
         # comp_src+goff rows are distinct across and within batch rows, and
         # padded rows get distinct out-of-bounds indices (dropped), so the

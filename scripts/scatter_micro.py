@@ -3,20 +3,21 @@
 VERDICT r4 item 1: the packed point-attribute scatter-add (5.8 ms isolated
 at S=384k, cap=102.4k) is the named blocker on the 90k rays/s target.
 Round-4 measured-and-rejected bf16 and sort+segment (sort in the hot path);
-this probe decomposes the remaining candidates:
+this probe decomposes the remaining candidates with S=64-iteration scan
+timing (a bare jit call through the axon tunnel costs ~30 ms of dispatch
+latency — the first version of this script timed exactly that):
 
   base      the production scatter-add (repeating indices)
   sorted    scatter with indices_are_sorted=True on PRE-sorted indices
-            (the sort happens once per step in the query phase — c_pidx is
-            a non-differentiable query output, so its argsort can be
-            computed OUTSIDE the backward and amortized)
-  argsort   the one-time cost of that argsort (+ row permute), charged to
-            the step
+            (c_pidx is a non-differentiable query output, so its argsort
+            can be computed OUTSIDE the backward and amortized)
+  argsort   the one-time cost of that argsort, charged to the step
+  permute   the [S,42] row permute by the argsort order
   segsum    jax.ops.segment_sum with sorted segment ids
-  unique1   scatter after in-register pair-combining of equal ADJACENT
-            sorted targets (halves collision depth)
+  combined  argsort + permute + sorted scatter fused in ONE program (what
+            the custom-VJP gather would actually add to the step)
 
-Run:  python scripts/scatter_micro.py [--S 384000] [--cap 102400] [--iters 50]
+Run:  python scripts/scatter_micro.py [--S 384000] [--cap 102400]
 """
 
 from __future__ import annotations
@@ -26,22 +27,10 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import argparse
-import functools
 import json
 import time
 
 import numpy as np
-
-
-def timeit(fn, args, iters):
-    out = fn(*args)
-    ref = float(np.asarray(out).ravel()[:8].sum())  # force + checksum
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(out).ravel()[0])
-    dt = (time.perf_counter() - t0) / iters
-    return dt * 1e3, ref
 
 
 def main():
@@ -49,7 +38,7 @@ def main():
     ap.add_argument("--S", type=int, default=384000)
     ap.add_argument("--cap", type=int, default=102400)
     ap.add_argument("--C", type=int, default=42)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--scan", type=int, default=64)
     ap.add_argument("--dup", type=float, default=6.0,
                     help="average index repetition (S / unique)")
     args = ap.parse_args()
@@ -57,7 +46,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    S, cap, C = args.S, args.cap, args.C
+    S, cap, C, SC = args.S, args.cap, args.C, args.scan
     rng = np.random.RandomState(0)
     uniq = max(1, int(S / args.dup))
     pool = rng.choice(cap, uniq, replace=False)
@@ -67,67 +56,83 @@ def main():
     upd = jnp.asarray(upd_np)
     order = jnp.asarray(np.argsort(idx_np, kind="stable").astype(np.int32))
     sidx = idx[order]
-    supd = upd[order]
 
-    results = {"S": S, "cap": cap, "C": C, "dup": args.dup,
+    results = {"S": S, "cap": cap, "C": C, "dup": args.dup, "scan": SC,
                "backend": jax.default_backend()}
 
-    @jax.jit
-    def base(i, u):
-        return jnp.zeros((cap, C), jnp.float32).at[i].add(u)
+    def scan_time(body):
+        """ms/iter of body(i) over an SC-iteration scan (carry = checksum)."""
+        @jax.jit
+        def f():
+            c, _ = jax.lax.scan(lambda c, i: (c + body(i), None),
+                                jnp.float32(0), jnp.arange(SC))
+            return c
+        v = float(f())  # compile + first run
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f())
+            best = min(best, time.perf_counter() - t0)
+        return best / SC * 1e3, v
 
-    @jax.jit
-    def sorted_scatter(i, u):
-        return jnp.zeros((cap, C), jnp.float32).at[i].add(
-            u, indices_are_sorted=True)
+    def vary(i):
+        # per-iteration scale so the scan body can't be hoisted
+        return (1.0 + 1e-6 * i.astype(jnp.float32))
 
-    @jax.jit
-    def do_argsort(i):
-        return jnp.argsort(i)
+    def b_base(i):
+        out = jnp.zeros((cap, C), jnp.float32).at[idx].add(upd * vary(i))
+        return out[0, 0] + out[-1, -1]
 
-    @jax.jit
-    def permute_rows(u, o):
-        return u[o]
+    def b_sorted(i):
+        out = jnp.zeros((cap, C), jnp.float32).at[sidx].add(
+            (upd * vary(i))[order], indices_are_sorted=True)
+        return out[0, 0] + out[-1, -1]
 
-    @jax.jit
-    def segsum(i, u):
-        return jax.ops.segment_sum(u, i, num_segments=cap,
-                                   indices_are_sorted=True)
+    def b_sorted_nopermute(i):
+        # permuted rows precomputed: isolates the sorted scatter itself
+        supd = upd[order]
+        out = jnp.zeros((cap, C), jnp.float32).at[sidx].add(
+            supd * vary(i), indices_are_sorted=True)
+        return out[0, 0] + out[-1, -1]
 
-    @jax.jit
-    def pair_combine_then_scatter(i, u):
-        # sorted targets: combine adjacent equal pairs (halves rows with
-        # duplicates; survivors keep their target, merged slots -> cap dump)
-        i2 = i.reshape(S // 2, 2)
-        u2 = u.reshape(S // 2, 2, C)
-        same = i2[:, 0] == i2[:, 1]
-        first = u2[:, 0] + jnp.where(same[:, None], u2[:, 1], 0.0)
-        second = jnp.where(same[:, None], 0.0, u2[:, 1])
-        tgt2 = jnp.where(same, cap, i2[:, 1])
-        out = jnp.zeros((cap + 1, C), jnp.float32)
-        out = out.at[i2[:, 0]].add(first, indices_are_sorted=True)
-        out = out.at[tgt2].add(second, mode="drop")
-        return out[:cap]
+    def b_argsort(i):
+        o = jnp.argsort(idx + (i - i))  # i-dependence defeats hoisting
+        return (o[0] + o[-1]).astype(jnp.float32)
 
-    ref = None
-    for name, fn, a in (
-            ("base_ms", base, (idx, upd)),
-            ("sorted_ms", sorted_scatter, (sidx, supd)),
-            ("argsort_ms", do_argsort, (idx,)),
-            ("permute_ms", permute_rows, (upd, order)),
-            ("segsum_sorted_ms", segsum, (sidx, supd)),
-            ("paircombine_ms", pair_combine_then_scatter, (sidx, supd)),
+    def b_permute(i):
+        rows = (upd * vary(i))[order]
+        return rows[0, 0] + rows[-1, -1]
+
+    def b_segsum(i):
+        supd = upd[order]
+        out = jax.ops.segment_sum(supd * vary(i), sidx, num_segments=cap,
+                                  indices_are_sorted=True)
+        return out[0, 0] + out[-1, -1]
+
+    def b_combined(i):
+        # the full candidate replacement: argsort in the forward (charged
+        # here), permute + sorted scatter in the backward
+        o = jnp.argsort(idx + (i - i))
+        si = idx[o]
+        out = jnp.zeros((cap, C), jnp.float32).at[si].add(
+            (upd * vary(i))[o], indices_are_sorted=True)
+        return out[0, 0] + out[-1, -1]
+
+    checks = {}
+    for name, body in (
+            ("base_ms", b_base),
+            ("sorted_ms", b_sorted_nopermute),
+            ("sorted_w_permute_ms", b_sorted),
+            ("argsort_ms", b_argsort),
+            ("permute_ms", b_permute),
+            ("segsum_sorted_ms", b_segsum),
+            ("combined_ms", b_combined),
     ):
         try:
-            ms, chk = timeit(fn, a, args.iters)
+            ms, chk = scan_time(body)
             results[name] = round(ms, 3)
-            if name == "base_ms":
-                ref = chk
-            elif name in ("sorted_ms", "segsum_sorted_ms",
-                          "paircombine_ms") and ref is not None:
-                assert abs(chk - ref) < 1e-2 + 1e-4 * abs(ref), (name, chk,
-                                                                ref)
-        except Exception as e:
+            checks[name] = chk
+        except Exception as e:  # noqa: BLE001
             results[name] = f"FAILED: {str(e)[:120]}"
     print(json.dumps(results))
 
