@@ -165,7 +165,7 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
     "the known next lever" for dtu_inf serving): the exact 27-tile KNN runs
     only on the first Nc occupancy-valid shading rows instead of all
     B·R·SR — on real DTU scenes most rows are empty. sample_pidx is then
-    None and comp = (comp_src, comp_valid, c_pidx, row_valid), the same
+    None and comp = (comp_src, comp_valid, c_pidx, row_valid, counts), the same
     contract as query_grid_points; overflowed rows are counted in
     q_overflow so render_image's budget ladder can retry uncompacted.
     """
@@ -234,7 +234,7 @@ def query_frustum_points(raydir: jnp.ndarray, camrotc2w: jnp.ndarray,
         row_valid = scatter_row_valid(comp_src, comp_valid, c_has, R, SR)
         ray_mask = jnp.any(row_valid, axis=-1)
         q_overflow = jnp.sum(jnp.maximum(n_total - Ncb, 0))
-        comp = (comp_src, comp_valid, c_pidx, row_valid)
+        comp = (comp_src, comp_valid, c_pidx, row_valid, counts)
         sample_pidx = None
     else:
         sample_pidx = knn(sample_loc, sample_mask)

@@ -150,6 +150,76 @@ def compact_row_map(counts: jnp.ndarray, Ncb: int, SR: int
     return comp_src, comp_valid, n_total
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def expand_compacted(SR: int, flat_gather: bool, c: jnp.ndarray,
+                     counts_g: jnp.ndarray, comp_src: jnp.ndarray,
+                     comp_valid: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the prefix compaction map: [BG,Ncb,...] → [BG,Rg,SR,...].
+
+    The compaction packs each ray's first counts[r] SR-slots densely
+    (compact_row_map), so the full→compact rank is CLOSED FORM:
+    rank(r, sr) = rayoff[r] + sr, valid iff sr < counts[r] and rank < Ncb.
+    Expanding by this rank-gather replaces the scatter-back of compacted
+    outputs to [B,R,SR,C] — profiled 2.2 ms/step at bench shapes for the
+    decoded values alone (48k sequential row-stores into a march-layout
+    buffer) vs ~0.4 ms for the gather. custom_vjp because autodiff would
+    transpose the gather into exactly that scatter: the true cotangent is
+    the compaction gather itself (ct_c[s] = ct_full[comp_src[s]]), a
+    48k-row gather.
+
+    flat_gather: use the flat 2-D row-gather form (single chip fast path);
+    False = batched take_along_axis whose indices stay inside each group's
+    row block, so GSPMD partitions it per ray shard (comp_groups > 1).
+    """
+    out, _ = _expand_fwd(SR, flat_gather, c, counts_g, comp_src, comp_valid)
+    return out
+
+
+def _expand_fwd(SR, flat_gather, c, counts_g, comp_src, comp_valid):
+    BG, Ncb = c.shape[:2]
+    Rg = counts_g.shape[1]
+    tail = c.shape[2:]
+    rayoff = jnp.cumsum(counts_g, axis=-1) - counts_g             # [BG,Rg]
+    sr = jnp.arange(SR, dtype=jnp.int32)
+    rank = rayoff[:, :, None] + sr[None, None]                    # [BG,Rg,SR]
+    valid = (sr[None, None] < counts_g[:, :, None]) & (rank < Ncb)
+    take = jnp.clip(rank, 0, Ncb - 1).reshape(BG, Rg * SR)
+    if flat_gather:
+        goff = (jnp.arange(BG, dtype=jnp.int32) * Ncb)[:, None]   # [BG,1]
+        out = c.reshape((BG * Ncb,) + tail)[(take + goff).reshape(-1)]
+        out = out.reshape((BG, Rg * SR) + tail)
+    else:
+        idx = take.reshape((BG, Rg * SR) + (1,) * len(tail))
+        out = jnp.take_along_axis(c, idx, axis=1)
+    out = jnp.where(
+        valid.reshape((BG, Rg * SR) + (1,) * len(tail)), out, 0)
+    return out.reshape((BG, Rg, SR) + tail), (counts_g, comp_src, comp_valid)
+
+
+def _expand_bwd(SR, flat_gather, res, ct):
+    counts_g, comp_src, comp_valid = res
+    BG, Ncb = comp_src.shape
+    tail = ct.shape[3:]
+    ctf = ct.reshape((BG, ct.shape[1] * SR) + tail)
+    if flat_gather:
+        RS = ctf.shape[1]
+        goff = (jnp.arange(BG, dtype=jnp.int32) * RS)[:, None]
+        g = ctf.reshape((BG * RS,) + tail)[
+            (comp_src + goff).reshape(-1)].reshape((BG, Ncb) + tail)
+    else:
+        idx = comp_src.reshape((BG, Ncb) + (1,) * len(tail))
+        g = jnp.take_along_axis(ctf, idx, axis=1)
+    ct_c = jnp.where(comp_valid.reshape((BG, Ncb) + (1,) * len(tail)), g, 0)
+    f0 = jax.dtypes.float0
+    return (ct_c,
+            np.zeros(counts_g.shape, f0),
+            np.zeros(comp_src.shape, f0),
+            np.zeros(comp_valid.shape, f0))
+
+
+expand_compacted.defvjp(_expand_fwd, _expand_bwd)
+
+
 def scatter_row_valid(comp_src: jnp.ndarray, comp_valid: jnp.ndarray,
                       c_has: jnp.ndarray, R: int, SR: int) -> jnp.ndarray:
     """Scatter per-slot has-neighbor bits back to [B,R,SR] (unique indices:
@@ -373,7 +443,8 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
     Returns (sample_pidx [B,R,SR,K] or None, sample_loc_w [B,R,SR,3],
              ray_mask [B,R] bool, q_overflow [] int32, comp).
     When Nc is active sample_pidx is None and comp = (comp_src [B,Ncb],
-    comp_valid [B,Ncb], c_pidx [B,Ncb,K], row_valid [B,R,SR]) with
+    comp_valid [B,Ncb], c_pidx [B,Ncb,K], row_valid [B,R,SR],
+    counts [BG,Rg] per-ray prefix counts) with
     Ncb = ceil(Nc/(B·G)) — compaction is PER BATCH ROW (each camera's rows
     pack into its own budget slice), so multi-camera batches and batch-axis
     data parallelism keep the per-row camera association and the cumsum never
@@ -448,7 +519,8 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
                                       Rg, SR).reshape(B, R, SR)
         ray_mask = jnp.any(row_valid, axis=-1)
         q_overflow = jnp.sum(jnp.maximum(n_total - Ncb, 0))
-        comp = (comp_src, comp_valid, c_pidx, row_valid)
+        comp = (comp_src, comp_valid, c_pidx, row_valid,
+                counts.reshape(BG, Rg))
         return None, sample_loc_w, ray_mask, q_overflow, comp
 
     sample_pidx = knn(sample_loc_w, sample_mask)

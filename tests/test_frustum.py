@@ -479,11 +479,14 @@ def test_frustum_compaction_matches_uncompacted():
     cpidx, c_w, _, c_mask, qo, comp = query_frustum_points(
         *args, SR=SR, K=opt.K, Nc=Nc)
     assert cpidx is None and int(qo) == 0
-    comp_src, comp_valid, c_pidx, row_valid = (np.asarray(x) for x in comp)
+    comp_src, comp_valid, c_pidx, row_valid, counts = (
+        np.asarray(x) for x in comp)
     fp = np.asarray(full_pidx).reshape(R * SR, opt.K)
     has = (fp >= 0).any(-1).reshape(R, SR)
     np.testing.assert_array_equal(np.asarray(c_mask), np.asarray(full_mask))
     np.testing.assert_array_equal(row_valid[0], has)
+    # counts are the per-ray prefix-form slot counts the compaction packed
+    np.testing.assert_array_equal(counts[0], has.sum(-1))
     for s in range(comp_src.shape[1]):
         if not comp_valid[0, s]:
             continue

@@ -297,3 +297,46 @@ def test_select_shading_t_blocked_matches_unblocked(monkeypatch):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_expand_compacted_matches_scatter_and_vjp():
+    """expand_compacted (closed-form rank gather) must equal the scatter-back
+    of compacted rows it replaces, in BOTH flat and grouped gather forms, and
+    its custom VJP must equal autodiff of the scatter formulation."""
+    import jax
+    import jax.numpy as jnp
+    from pointnerf_tpu.ops import query as Q
+
+    rng = np.random.RandomState(5)
+    BG, Rg, SR, C = 3, 11, 6, 4
+    counts = jnp.asarray(rng.randint(0, SR + 1, (BG, Rg)), jnp.int32)
+    Ncb = int(np.asarray(counts).sum(-1).max()) - 2  # force some overflow
+    Ncb = max(Ncb, 4)
+    comp_src, comp_valid, n_total = Q.compact_row_map(counts, Ncb, SR)
+    c = jnp.asarray(rng.randn(BG, Ncb, C).astype(np.float32))
+    c = c * comp_valid[..., None]  # consumers always mask padded slots
+
+    def scatter_ref(cv):
+        rows = Rg * SR
+        idx = jnp.where(comp_valid, comp_src, rows + jnp.arange(Ncb)[None])
+        def one(i, u):
+            return jnp.zeros((rows, C), cv.dtype).at[i].set(
+                u, mode="drop", unique_indices=True)
+        return jax.vmap(one)(idx, cv).reshape(BG, Rg, SR, C)
+
+    want = np.asarray(scatter_ref(c))
+    for flat in (True, False):
+        got = np.asarray(Q.expand_compacted(SR, flat, c, counts,
+                                            comp_src, comp_valid))
+        np.testing.assert_array_equal(got, want, err_msg=f"flat={flat}")
+
+    # VJP: random downstream cotangent; compare against the scatter autodiff
+    w = jnp.asarray(rng.randn(BG, Rg, SR, C).astype(np.float32))
+    g_ref = jax.grad(lambda cv: jnp.sum(scatter_ref(cv) * w))(c)
+    for flat in (True, False):
+        g = jax.grad(lambda cv: jnp.sum(
+            Q.expand_compacted(SR, flat, cv, counts, comp_src, comp_valid)
+            * w))(c)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"flat={flat}")

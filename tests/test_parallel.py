@@ -207,7 +207,11 @@ def test_comp_groups_matches_global_compaction(scene):
     key = jax.random.PRNGKey(7)
     outs = {}
     for G in (1, 2, 4):
-        o = opt.replace(SR_budget=511, comp_groups=G)
+        # k_tier_wide_frac=1.0: the default 0.25 wide-tier budget overflows
+        # this dense scene at SR_budget=511; a covering wide budget keeps
+        # the overflow==0 precondition while ALSO exercising the tier split
+        # across comp groups (k_tier defaults to auto=1)
+        o = opt.replace(SR_budget=511, comp_groups=G, k_tier_wide_frac=1.0)
         ts0 = trainer.create_train_state(o, jax.random.PRNGKey(3), state)
         ts1, items = trainer.train_step(ts0, grid, batch, key, o, spec)
         assert int(items["sr_overflow"]) == 0, G
