@@ -320,6 +320,15 @@ class Options:
                                            # full budget — it cannot overflow). Wide-tier
                                            # overflow counts into sr_overflow (driver raises
                                            # / serving ladder escalates, like SR_budget).
+    occ_segments: int = -1                 # segment-cached occupancy test: gather each
+                                           # ray's <=U distinct 128-voxel occupancy rows
+                                           # once, select per-sample bits with an MXU
+                                           # one-hot kernel (ops/query.py::
+                                           # mask_raypos_segmented). >0 = row budget U;
+                                           # -1 = auto (96 on accelerators, dense on CPU);
+                                           # 0 = dense per-sample row gathers. Exact below
+                                           # the budget; overflow rays go conservative-
+                                           # valid and count into items["occ_overflow"].
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

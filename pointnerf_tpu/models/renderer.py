@@ -141,6 +141,23 @@ def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
     return c_decoded, c_weight, c_conf, ovB
 
 
+def resolve_occ_segments(opt) -> int:
+    """Row budget for the segment-cached occupancy test (0 = dense).
+
+    opt.occ_segments > 0: explicit per-ray distinct-row budget U; -1: auto —
+    U=96 on a real accelerator (measured 3.09 vs 4.17 ms at bench shapes,
+    BASELINE.md round 5; worst observed distinct-row count 75), dense on CPU
+    (the Pallas select kernel would run in interpret mode — tests force it
+    explicitly); 0: dense `mask_raypos`. Rays visiting more than U distinct
+    occupancy rows get conservative-valid overflow samples, counted in
+    items["occ_overflow"].
+    """
+    v = int(getattr(opt, "occ_segments", 0))
+    if v < 0:
+        return 96 if jax.default_backend() != "cpu" else 0
+    return v
+
+
 def effective_sr_budget(opt, rows: int) -> int:
     """Shading-row compaction budget for a row space of `rows` = B·R·SR.
 
@@ -168,6 +185,10 @@ class QueryOut(NamedTuple):
                                              #  row_valid [B,R,SR], counts
                                              #  [BG,Rg]) per-batch-row pre-
                                              #  compacted query (prefix-form)
+    occ_overflow: Optional[jax.Array] = None  # [] int32 rays past the
+                                              # occ_segments row budget
+                                              # (conservative-valid samples,
+                                              # nothing dropped)
 
 
 def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
@@ -226,20 +247,22 @@ def render_query(point_state: Dict, grid: Dict, spec: GridSpec, opt,
         # sample's surrounding lattice-cell corners — no KNN, no compaction
         # (K=1 below just minimizes the discarded KNN work)
         from ..ops.voxgrid import query_vox_grid
-        _, sample_loc_w, ray_mask, q_overflow, _ = query_grid_points(
+        _, sample_loc_w, ray_mask, q_overflow, _, occ_over = query_grid_points(
             campos, raydir, mid_ts,
             jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
-            SR=opt.SR, K=1, Nc=0)
+            SR=opt.SR, K=1, Nc=0, occ_U=resolve_occ_segments(opt))
         sample_pidx = query_vox_grid(sample_loc_w, grid["vox_table"], spec)
         return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
-                        ray_mask, None, q_overflow, None)
+                        ray_mask, None, q_overflow, None, occ_over)
     Nc = effective_sr_budget(opt, B * R * opt.SR) if not prob else 0
-    sample_pidx, sample_loc_w, ray_mask, q_overflow, comp = query_grid_points(
+    (sample_pidx, sample_loc_w, ray_mask, q_overflow, comp,
+     occ_over) = query_grid_points(
         campos, raydir, mid_ts,
         jax.lax.stop_gradient(point_state["xyz"]), grid, spec,
-        SR=opt.SR, K=opt.K, Nc=Nc, G=int(getattr(opt, "comp_groups", 1)))
+        SR=opt.SR, K=opt.K, Nc=Nc, G=int(getattr(opt, "comp_groups", 1)),
+        occ_U=resolve_occ_segments(opt))
     return QueryOut(sample_pidx, jax.lax.stop_gradient(sample_loc_w),
-                    ray_mask, None, q_overflow, comp)
+                    ray_mask, None, q_overflow, comp, occ_over)
 
 
 def render_shade(agg_params: Dict,
@@ -257,7 +280,8 @@ def render_shade(agg_params: Dict,
     B, R, _ = raydir.shape
     # frustum path supplies per-sample ray dirs (reference query_points :101)
     (sample_pidx, sample_loc_w, ray_mask, sample_ray_dirs, q_overflow,
-     q_comp) = query_out
+     q_comp) = query_out[:6]
+    occ_overflow = query_out[6] if len(query_out) > 6 else None
 
     # 3. gather neighbor attributes; perspective coords of shading locations
     sample_loc = w2pers(sample_loc_w, camrotc2w, campos)
@@ -471,6 +495,10 @@ def render_shade(agg_params: Dict,
         # valid rows dropped by the compaction budget (0 = compaction exact)
         "sr_overflow": sr_overflow,
     }
+    if occ_overflow is not None:
+        # rays past the occ_segments row cache (conservative-valid samples —
+        # quality-safe, budget-consuming; see mask_raypos_segmented)
+        output["occ_overflow"] = occ_overflow
 
     # bg_ray composition (reference fill_invalid :103-105): rays that hit keep their
     # rendered color plus bg_ray attenuated by their transmission; missed rays get bg_ray.

@@ -60,6 +60,107 @@ def mask_raypos(raypos: jnp.ndarray, grid, spec: GridSpec) -> jnp.ndarray:
     return (occ > 0.5) & inb
 
 
+def mask_raypos_segmented(raypos: jnp.ndarray, grid, spec: GridSpec, U: int,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment-cached occupancy test: exact `mask_raypos` with ~16x fewer gathers.
+
+    Rays march mostly along z — the grid's fastest linearized axis — so a
+    ray's D occupancy samples visit only ~24 distinct 128-voxel rows on
+    average (scripts/rowcoherence_stats.py). Instead of one row gather PER
+    SAMPLE (B·R·D reads, latency-bound: ~3.7 ms at bench shapes), gather
+    each ray's ≤U distinct rows ONCE (B·R·U reads) and resolve the
+    per-sample (segment, lane) select with an MXU one-hot contraction in
+    VMEM — composed in XLA the [D,U]@[U,LW] per-ray product would
+    materialize a ~740 MB HBM intermediate. Measured 3.09 vs 4.17 ms/iter
+    at S=64 (scripts/occ_micro3.py; the round-3 S=8 reading that shelved
+    this idea carried ~4 ms of dispatch latency on both sides).
+
+    Exact whenever a ray visits ≤ U distinct rows (worst case observed at
+    bench shapes: 75 with U=96). Rays beyond U fall back to
+    CONSERVATIVE-VALID for the overflow samples — a superset of the true
+    mask: spurious shading points draw candidates from an adopted voxel
+    window whose distances exceed radius_limit, so they aggregate zero
+    neighbors; they only consume compaction budget. Overflowing rays are
+    counted in the second return value (surfaced as items["occ_overflow"]).
+
+    Returns (valid [B,R,D] bool, n_overflow_rays [] int32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    coords, inb = voxel_coords(raypos, spec)
+    lin = jnp.where(inb, linearize(coords, spec), 0)
+    rows = grid["coor_occ_rows"]
+    LW = rows.shape[-1]
+    B, R, D = lin.shape
+    N = B * R
+    rid = (lin // LW).reshape(N, D)
+    lane = (lin % LW).reshape(N, D)
+    is_start = jnp.concatenate(
+        [jnp.ones((N, 1), bool), rid[:, 1:] != rid[:, :-1]], axis=1)
+    # segment rank via a lower-triangular f32 matmul (counts ≤ D are exact
+    # in f32; ~0.3 ms cheaper than a lane-axis cumsum at bench shapes)
+    tri = jnp.asarray(np.tril(np.ones((D, D), np.float32)))
+    rank = (is_start.astype(jnp.float32) @ tri.T).astype(jnp.int32) - 1
+    n_overflow = jnp.sum((rank[:, -1] >= U).astype(jnp.int32))
+
+    # per-ray compacted row ids [N,U]: one-hot over the UNCLAMPED rank so
+    # segments ≥ U contribute nothing (clamping them onto slot U-1 would sum
+    # several rids into a garbage row id read by the rank==U-1 samples)
+    oh_u = (rank[:, :, None] == jnp.arange(U, dtype=jnp.int32)
+            ).astype(jnp.float32)                                # [N,D,U]
+    seg_rid = jnp.einsum(
+        "nd,ndu->nu", jnp.where(is_start, rid, 0).astype(jnp.float32),
+        oh_u).astype(jnp.int32)                                  # [N,U]
+    rows_g = rows[seg_rid.reshape(-1)].reshape(N, U, LW)         # int8
+
+    rank_c = jnp.minimum(rank, U - 1)
+
+    Rt = 16  # rays per grid step (micro-bench optimum; 8/32 within 3%)
+
+    def kern(rows_ref, rank_ref, lane_ref, occ_ref):
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (Rt, D, U), 2)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (Rt, D, LW), 2)
+        oh = (rank_ref[...][:, :, None] == iota_u).astype(jnp.bfloat16)
+        m = jax.lax.dot_general(
+            oh, rows_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                  # [Rt,D,LW]
+        ohl = lane_ref[...][:, :, None] == iota_l
+        occ_ref[...] = jnp.sum(jnp.where(ohl, m, 0.0), axis=-1)
+
+    padn = (-N) % Rt
+    if padn:
+        rows_g = jnp.concatenate(
+            [rows_g, jnp.zeros((padn, U, LW), rows_g.dtype)], 0)
+        rank_c = jnp.concatenate(
+            [rank_c, jnp.zeros((padn, D), rank_c.dtype)], 0)
+        lane_p = jnp.concatenate(
+            [lane, jnp.zeros((padn, D), lane.dtype)], 0)
+    else:
+        lane_p = lane
+    Np = N + padn
+    occ = pl.pallas_call(
+        kern,
+        grid=(Np // Rt,),
+        in_specs=[
+            pl.BlockSpec((Rt, U, LW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Rt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        interpret=interpret,
+    )(rows_g, rank_c, lane_p)[:N]
+    occ = jnp.where(rank >= U, 1.0, occ)  # conservative beyond the budget
+    return ((occ > 0.5).reshape(B, R, D) & inb), n_overflow
+
+
 def select_shading_points(raypos: jnp.ndarray, raypos_valid: jnp.ndarray, SR: int
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compact the first ≤SR valid samples of each ray into [B,R,SR,3].
@@ -423,11 +524,12 @@ def knn_neighbors(sample_loc: jnp.ndarray, sample_mask: jnp.ndarray,
     return jnp.where(best_d < BIG, best_i, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "SR", "K", "Nc", "G"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "SR", "K", "Nc", "G", "occ_U"))
 def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
                       tvals: jnp.ndarray, xyz: jnp.ndarray, grid,
                       spec: GridSpec, SR: int, K: int, Nc: int = 0,
-                      G: int = 1):
+                      G: int = 1, occ_U: int = 0):
     """Full query pipeline (reference host orchestration cu:305-433, uncompacted).
 
     campos [B,3], raydir [B,R,3], tvals [B,R,D] jittered ray-march depths
@@ -440,8 +542,14 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
     ~6x). Rows beyond the budget get no neighbors and are counted in
     q_overflow, exactly like the shade-side compaction counter.
 
+    occ_U > 0: segment-cached occupancy test (mask_raypos_segmented) with a
+    per-ray row budget of occ_U — exact unless a ray visits more distinct
+    128-voxel rows, where its overflow samples go conservative-valid and the
+    ray is counted in occ_overflow.
+
     Returns (sample_pidx [B,R,SR,K] or None, sample_loc_w [B,R,SR,3],
-             ray_mask [B,R] bool, q_overflow [] int32, comp).
+             ray_mask [B,R] bool, q_overflow [] int32, comp,
+             occ_overflow [] int32).
     When Nc is active sample_pidx is None and comp = (comp_src [B,Ncb],
     comp_valid [B,Ncb], c_pidx [B,Ncb,K], row_valid [B,R,SR],
     counts [BG,Rg] per-ray prefix counts) with
@@ -466,7 +574,13 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
     computed row SET is identical to G == 1; only the packing differs.
     """
     raypos = campos[:, None, None, :] + raydir[:, :, None, :] * tvals[..., None]
-    rp_valid = mask_raypos(raypos, grid, spec)
+    occ_overflow = jnp.zeros((), jnp.int32)
+    if occ_U > 0:
+        rp_valid, occ_overflow = mask_raypos_segmented(
+            raypos, grid, spec, occ_U,
+            interpret=jax.default_backend() == "cpu")
+    else:
+        rp_valid = mask_raypos(raypos, grid, spec)
     t_sel, sample_mask, counts = select_shading_t(tvals, rp_valid, SR)
     sample_loc_w = jnp.where(
         sample_mask[..., None],
@@ -521,9 +635,9 @@ def query_grid_points(campos: jnp.ndarray, raydir: jnp.ndarray,
         q_overflow = jnp.sum(jnp.maximum(n_total - Ncb, 0))
         comp = (comp_src, comp_valid, c_pidx, row_valid,
                 counts.reshape(BG, Rg))
-        return None, sample_loc_w, ray_mask, q_overflow, comp
+        return None, sample_loc_w, ray_mask, q_overflow, comp, occ_overflow
 
     sample_pidx = knn(sample_loc_w, sample_mask)
     # a ray stays valid only if at least one shading point found a neighbor (cu:425-427)
     ray_mask = jnp.any(sample_pidx.reshape(sample_pidx.shape[:2] + (-1,)) >= 0, axis=-1)
-    return sample_pidx, sample_loc_w, ray_mask, q_overflow, None
+    return sample_pidx, sample_loc_w, ray_mask, q_overflow, None, occ_overflow

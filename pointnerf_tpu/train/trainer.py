@@ -152,6 +152,8 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                 out = run_render(agg_params, pt_train, sub,
                                  jax.random.fold_in(key, idx))
                 keys = ["coarse_raycolor", "ray_mask", "sr_overflow"]
+                if "occ_overflow" in out:
+                    keys.append("occ_overflow")
                 if opt.depth_loss_items:
                     keys.append("coarse_depth")
                 if opt.bg_loss_items:
@@ -166,6 +168,8 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                 return {k: out[k] for k in keys}
             outs = jax.lax.map(body, chunks)
             overflow = jnp.sum(outs.pop("sr_overflow"))
+            occ_over = (jnp.sum(outs.pop("occ_overflow"))
+                        if "occ_overflow" in outs else None)
             # ray-shaped leaves merge back to [1, R, ...]; compact-form
             # leaves keep their stacked chunk axis — compute_losses sums
             # them and divides by sum(zero_one_total), which is exact
@@ -175,6 +179,8 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
                           if k in ray_shaped else v)
                       for k, v in outs.items()}
             output["sr_overflow"] = overflow
+            if occ_over is not None:
+                output["occ_overflow"] = occ_over
         else:
             output = run_render(agg_params, pt_train, batch, key)
         total, items = compute_losses(opt, output, batch["gt_image"],
@@ -183,6 +189,9 @@ def compute_grads_impl(state: TrainState, grid: Dict, batch: Dict, key: jax.Arra
         # compaction-budget overflow (valid rows rendered empty): drivers log
         # it and can raise opt.SR_budget when it is persistently nonzero
         items["sr_overflow"] = output["sr_overflow"].astype(jnp.float32)
+        if "occ_overflow" in output:
+            # occ_segments row-cache overflow (conservative-valid, no drops)
+            items["occ_overflow"] = output["occ_overflow"].astype(jnp.float32)
         return total, items
 
     (_, items), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(

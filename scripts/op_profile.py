@@ -43,17 +43,24 @@ def parse_xplanes(logdir: str, top: int):
             if "host" in pname:
                 continue
             emeta = {m.id: m.name for m in plane.event_metadata.values()}
+            # Pick the finest-granularity line: an "xla ops" line if present,
+            # else the line with the most events (module-level lines have one
+            # event per dispatch and would swallow the whole scan as one op).
+            best = None
             for line in plane.lines:
                 lname = line.name.lower()
                 if "xla op" in lname or "xla_op" in lname:
-                    continue  # per-HLO line double-counts the op line below
-                if not ("xla" in lname or "ops" in lname or "tensor" in lname):
-                    continue
-                for ev in line.events:
-                    name = emeta.get(ev.metadata_id, str(ev.metadata_id))
-                    totals[name] += ev.duration_ps
-                    counts[name] += 1
-                    device_total_ps += ev.duration_ps
+                    best = line
+                    break
+                if best is None or len(line.events) > len(best.events):
+                    best = line
+            if best is None:
+                continue
+            for ev in best.events:
+                name = emeta.get(ev.metadata_id, str(ev.metadata_id))
+                totals[name] += ev.duration_ps
+                counts[name] += 1
+                device_total_ps += ev.duration_ps
     rows = []
     for name, ps in totals.most_common(top):
         rows.append({"op": name[:110], "ms_total": round(ps / 1e9, 2),

@@ -169,7 +169,7 @@ def test_full_query_ray_mask():
     raydir = jnp.asarray(np.tile(np.array([[[0.0, 0.0, 1.0]]], np.float32),
                                  (2, 1, 1)))                 # [2,1,3]
     tvals = jnp.asarray(np.tile(t[None, None], (2, 1, 1)))   # [2,1,D]
-    pidx, loc, ray_mask, _qo, _comp = query_grid_points(
+    pidx, loc, ray_mask, _qo, _comp, _oo = query_grid_points(
         campos, raydir, tvals, jnp.asarray(xyz), grid, spec, SR=4, K=2)
     pidx = pidx.reshape(1, 2, 4, 2)
     ray_mask = ray_mask.reshape(1, 2)
@@ -340,3 +340,70 @@ def test_expand_compacted_matches_scatter_and_vjp():
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-6, atol=1e-6,
                                    err_msg=f"flat={flat}")
+
+
+def _seg_workload(n_pts=400, B=2, R=7, D=64, seed=3):
+    """Random cloud + rays crossing it, for occupancy-mask parity tests."""
+    import jax
+    from pointnerf_tpu.ops import query as Q
+
+    rng = np.random.RandomState(seed)
+    xyz = rng.uniform(-0.4, 0.4, (n_pts, 3)).astype(np.float32)
+    opt = small_opt(max_o=2048, P=8, ranges=(-0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
+    spec = make_grid_spec(opt, xyz.min(0), xyz.max(0), n_pts)
+    grid = build_grid(jnp.asarray(xyz), jnp.ones(n_pts, bool), spec)
+    campos = rng.uniform(-1.2, -0.8, (B, 3)).astype(np.float32)
+    tgt = rng.uniform(-0.3, 0.3, (B, R, 3)).astype(np.float32)
+    rd = tgt - campos[:, None]
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    t = np.sort(rng.uniform(0.2, 2.4, (B, R, D)).astype(np.float32), -1)
+    raypos = jnp.asarray(campos[:, None, None]
+                         + rd[:, :, None] * t[..., None])
+    return Q, raypos, grid, spec, jnp.asarray(campos), jnp.asarray(rd), \
+        jnp.asarray(t), jnp.asarray(xyz)
+
+
+def test_mask_raypos_segmented_matches_dense():
+    """Segment-cached occupancy == dense mask when U covers every ray's
+    distinct-row count (interpret-mode Pallas on CPU)."""
+    Q, raypos, grid, spec, *_ = _seg_workload()
+    dense = np.asarray(Q.mask_raypos(raypos, grid, spec))
+    seg, n_over = Q.mask_raypos_segmented(raypos, grid, spec, U=64,
+                                          interpret=True)
+    assert int(n_over) == 0
+    np.testing.assert_array_equal(np.asarray(seg), dense)
+    assert dense.any()  # the workload must actually hit occupancy
+
+
+def test_mask_raypos_segmented_overflow_is_conservative():
+    """Rays past the row budget mark their overflow samples valid (a strict
+    superset of the dense mask — nothing real is ever dropped) and are
+    counted."""
+    Q, raypos, grid, spec, *_ = _seg_workload()
+    dense = np.asarray(Q.mask_raypos(raypos, grid, spec))
+    seg, n_over = Q.mask_raypos_segmented(raypos, grid, spec, U=2,
+                                          interpret=True)
+    seg = np.asarray(seg)
+    assert int(n_over) > 0
+    assert not (dense & ~seg).any()   # superset: no dense-valid lost
+    assert seg.sum() > dense.sum()    # and genuinely conservative here
+
+
+def test_query_grid_points_occ_U_matches_dense():
+    """Full query pipeline with occ_U covering == occ_U=0, compacted and
+    uncompacted."""
+    Q, raypos, grid, spec, campos, rd, t, xyz = _seg_workload()
+    for Nc in (0, 48):
+        a = Q.query_grid_points(campos, rd, t, xyz, grid, spec,
+                                SR=4, K=3, Nc=Nc)
+        b = Q.query_grid_points(campos, rd, t, xyz, grid, spec,
+                                SR=4, K=3, Nc=Nc, occ_U=64)
+        assert int(b[5]) == 0
+        for x, y in zip(a[:4], b[:4]):
+            if x is None:
+                assert y is None
+                continue
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        if a[4] is not None:
+            for x, y in zip(a[4], b[4]):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
