@@ -21,7 +21,11 @@ import numpy as np
 
 # persistent compile cache: without it every bench run pays full remote
 # compiles (~3-5 min); tests/conftest.py sets the same path
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import os as _os, sys as _sys
+_d = _os.path.dirname(_os.path.abspath(__file__))
+_sys.path[:0] = [_d, _os.path.dirname(_d)]
+from pointnerf_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # host-keyed persistent compile cache (utils/cache.py)
 
 BASELINE_RAYS_PER_SEC = 40000.0
 

@@ -329,6 +329,13 @@ class Options:
                                            # 0 = dense per-sample row gathers. Exact below
                                            # the budget; overflow rays go conservative-
                                            # valid and count into items["occ_overflow"].
+    packed_point_adam: int = 0             # 1: run the point-attribute Adam over ONE
+                                           # packed [cap,42] array instead of per-buffer
+                                           # [cap,3]/[cap,1] leaves (elementwise-identical;
+                                           # the narrow leaves waste up to 42/128 lanes per
+                                           # TPU tile in the moment updates). Changes the
+                                           # {iter}_full.npz optimizer-state layout — resume
+                                           # requires the same setting.
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

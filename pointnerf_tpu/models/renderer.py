@@ -15,6 +15,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import raygen, ray_march as rm
 from ..ops.camera import w2pers
@@ -22,6 +23,61 @@ from ..ops.grid import GridSpec
 from ..ops.query import expand_compacted, query_grid_points
 from . import neural_points as npc
 from .aggregator import aggregator_forward, gradient_clamp
+
+
+@jax.custom_vjp
+def _tier_assemble(valsA, valsB, base, mA, inB, rankA_c, rankB_c,
+                   srcA, validA, srcB, validB):
+    """Reassemble per-tier aggregator outputs into the compacted row order.
+
+    GATHER form of the tier partition's inverse: row i reads
+    valsA[rankA[i]] when it sits in tier A, valsB[rankB[i]] when in tier B
+    (and under the wide budget), else `base`. The tier rank is the exact
+    packed position (tier_map packs by cumsum), so this equals the
+    scatter-form reassembly it replaces — same trick as
+    ops/query.py::expand_compacted. custom_vjp because autodiff would
+    transpose the gathers back into scatters: the true cotangents are the
+    tier gathers themselves (ct_vals[r] = ct[src[r]]).
+    """
+    out, _ = _tier_assemble_fwd(valsA, valsB, base, mA, inB, rankA_c,
+                                rankB_c, srcA, validA, srcB, validB)
+    return out
+
+
+def _bshape(m, ndim):
+    return m.reshape(m.shape + (1,) * (ndim - m.ndim))
+
+
+def _tier_assemble_fwd(valsA, valsB, base, mA, inB, rankA_c, rankB_c,
+                       srcA, validA, srcB, validB):
+    def gath(vals, rank_c):
+        idx = _bshape(rank_c, vals.ndim).astype(jnp.int32)
+        return jnp.take_along_axis(vals, idx, axis=1)
+
+    out = jnp.where(_bshape(mA, valsA.ndim), gath(valsA, rankA_c),
+                    jnp.where(_bshape(inB, valsB.ndim), gath(valsB, rankB_c),
+                              base))
+    return out, (mA, inB, srcA, validA, srcB, validB)
+
+
+def _tier_assemble_bwd(res, ct):
+    mA, inB, srcA, validA, srcB, validB = res
+
+    def take(src, valid):
+        idx = _bshape(src, ct.ndim).astype(jnp.int32)
+        g = jnp.take_along_axis(ct, idx, axis=1)
+        return jnp.where(_bshape(valid, ct.ndim), g, 0)
+
+    d_base = jnp.where(_bshape(~mA & ~inB, ct.ndim), ct, 0)
+    f0 = jax.dtypes.float0
+    z = lambda a: np.zeros(a.shape, f0)
+    # rank*_c live in the row space (mA's shape), src*/valid* in tier space
+    return (take(srcA, validA), take(srcB, validB), d_base,
+            z(mA), z(inB), z(mA), z(mA), z(srcA), z(validA),
+            z(srcB), z(validB))
+
+
+_tier_assemble.defvjp(_tier_assemble_fwd, _tier_assemble_bwd)
 
 
 def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
@@ -62,8 +118,7 @@ def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
 
     iot = jnp.arange(Ncb, dtype=jnp.int32)
 
-    def tier_map(m, Nt):
-        cum = jnp.cumsum(m.astype(jnp.int32), axis=1)           # [BG,Ncb]
+    def tier_map(m, cum, Nt):
         rank = jnp.where(m & (cum <= Nt), cum - 1, Nt + 1 + iot[None])
         src = jax.vmap(
             lambda r: jnp.zeros((Nt + 1,), jnp.int32).at[r].set(
@@ -75,8 +130,10 @@ def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
 
     frac = float(getattr(opt, "k_tier_wide_frac", 0.25))
     NtB = min(Ncb, max(128, int(round(Ncb * frac))))
-    srcA, validA, _ = tier_map(mA, Ncb)          # full budget: no overflow
-    srcB, validB, ovB = tier_map(mB, NtB)
+    cumA = jnp.cumsum(mA.astype(jnp.int32), axis=1)             # [BG,Ncb]
+    cumB = jnp.cumsum(mB.astype(jnp.int32), axis=1)
+    srcA, validA, _ = tier_map(mA, cumA, Ncb)    # full budget: no overflow
+    srcB, validB, ovB = tier_map(mB, cumB, NtB)
 
     def take_rows(a, src, valid, fill):
         idx = src.reshape(src.shape + (1,) * (a.ndim - 2))
@@ -119,25 +176,22 @@ def _tiered_aggregate(agg_params, point_state, opt, spec, c_pidx, comp_valid,
         [cfA, jnp.broadcast_to(conf0, cfA.shape[:-1] + (padK,)
                                ).astype(cfA.dtype)], axis=-1)
 
-    def tier_scatter(base, src, valid, vals):
-        Nt = src.shape[1]
-        oob = Ncb + 1 + jnp.arange(Nt, dtype=jnp.int32)
-        idx = jnp.where(valid, src, oob[None])
-
-        def one(b, ix, v):
-            return b.at[ix].set(v, mode="drop", unique_indices=True)
-
-        return jax.vmap(one)(base, idx, vals)
-
+    # reassembly in GATHER form (see _tier_assemble): row i reads its tier's
+    # packed output at rank cum-1; rows in neither tier (or past the wide
+    # budget) keep the base value — zeros for decoded/weight, the masked-slot
+    # conf0 (with its live gradient) for conf
+    rankA_c = jnp.clip(cumA - 1, 0, Ncb - 1)
+    rankB_c = jnp.clip(cumB - 1, 0, NtB - 1)
+    inB = mB & (cumB - 1 < NtB)
     zero4 = jnp.zeros((BG, Ncb, 1, decA.shape[-1]), decA.dtype)
-    c_decoded = tier_scatter(tier_scatter(zero4, srcA, validA, decA),
-                             srcB, validB, decB)
+    c_decoded = _tier_assemble(decA, decB, zero4, mA, inB, rankA_c, rankB_c,
+                               srcA, validA, srcB, validB)
     zeroW = jnp.zeros((BG, Ncb, 1, Kn), wA.dtype)
-    c_weight = tier_scatter(tier_scatter(zeroW, srcA, validA, wA),
-                            srcB, validB, wB)
+    c_weight = _tier_assemble(wA, wB, zeroW, mA, inB, rankA_c, rankB_c,
+                              srcA, validA, srcB, validB)
     base_cf = jnp.broadcast_to(conf0, (BG, Ncb, 1, Kn)).astype(jnp.float32)
-    c_conf = tier_scatter(tier_scatter(base_cf, srcA, validA, cfA),
-                          srcB, validB, cfB)
+    c_conf = _tier_assemble(cfA, cfB, base_cf, mA, inB, rankA_c, rankB_c,
+                            srcA, validA, srcB, validB)
     return c_decoded, c_weight, c_conf, ovB
 
 

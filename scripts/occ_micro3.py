@@ -26,7 +26,11 @@ from __future__ import annotations
 
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")  # persistent compile cache
+import os as _os, sys as _sys
+_d = _os.path.dirname(_os.path.abspath(__file__))
+_sys.path[:0] = [_d, _os.path.dirname(_d)]
+from pointnerf_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # host-keyed persistent compile cache (utils/cache.py)
 
 import argparse
 import functools

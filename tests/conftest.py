@@ -12,7 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# Persistent compile cache keyed by the HOST CPU (utils/cache.py): XLA:CPU
+# AOT artifacts record the compile machine's features, and loading an entry
+# produced on a different host SIGILLs mid-suite (observed as random
+# segfaults in backend_compile_and_load when /tmp survived a host change).
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pointnerf_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402

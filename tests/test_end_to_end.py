@@ -476,3 +476,35 @@ def test_ray_chunked_depth_bg_losses_match_unchunked():
     nc = np.linalg.norm(np.concatenate(
         [np.asarray(x).ravel() for x in jax.tree.leaves(gn_c)]))
     assert 0.5 < nc / nu < 2.0, (nu, nc)
+
+
+def test_packed_point_adam_matches_per_buffer():
+    """packed_point_adam runs the pts Adam over one [cap, sumC] array —
+    elementwise-identical math, so a multi-step trajectory must match the
+    per-buffer chain to float-fusion precision (XLA's per-program FMA
+    contraction choices cost ~1 ulp/step; anything larger is a real bug)."""
+    opt, state, spec, grid, batch, _ = tiny_setup()
+    gt, _ = make_gt(batch)
+    batch = dict(batch, gt_image=gt)
+
+    def run(o):
+        ts = trainer.create_train_state(o, jax.random.PRNGKey(1), state)
+        key = jax.random.PRNGKey(2)
+        for _ in range(5):
+            key, sub = jax.random.split(key)
+            ts, items = trainer.train_step(ts, grid, batch, sub, o, spec)
+        return ts, float(items["loss_total"])
+
+    ts_a, loss_a = run(opt)
+    ts_b, loss_b = run(opt.replace(packed_point_adam=1))
+    assert abs(loss_a - loss_b) < 1e-6 * max(1.0, abs(loss_a))
+    for k in ts_a.pt_train:
+        np.testing.assert_allclose(np.asarray(ts_a.pt_train[k]),
+                                   np.asarray(ts_b.pt_train[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # capacity growth must pad the packed moments like any [cap,.] buffer
+    cap0 = ts_b.pt_train["xyz"].shape[0]
+    ts_c = trainer.expand_capacity(ts_b, cap0 + 64)
+    mus = [l for l in jax.tree_util.tree_leaves(ts_c.opt_state_pts)
+           if hasattr(l, "ndim") and l.ndim == 2]
+    assert all(l.shape[0] == cap0 + 64 for l in mus), [l.shape for l in mus]
