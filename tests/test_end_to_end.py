@@ -503,7 +503,7 @@ def test_packed_point_adam_matches_per_buffer():
                                    np.asarray(ts_b.pt_train[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
     # capacity growth must pad the packed moments like any [cap,.] buffer
-    cap0 = ts_b.pt_train["xyz"].shape[0]
+    cap0 = next(iter(ts_b.pt_train.values())).shape[0]
     ts_c = trainer.expand_capacity(ts_b, cap0 + 64)
     mus = [l for l in jax.tree_util.tree_leaves(ts_c.opt_state_pts)
            if hasattr(l, "ndim") and l.ndim == 2]
