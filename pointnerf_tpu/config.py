@@ -329,13 +329,15 @@ class Options:
                                            # 0 = dense per-sample row gathers. Exact below
                                            # the budget; overflow rays go conservative-
                                            # valid and count into items["occ_overflow"].
-    packed_point_adam: int = 0             # 1: run the point-attribute Adam over ONE
-                                           # packed [cap,42] array instead of per-buffer
+    packed_point_adam: int = 1             # 1 (default): run the point-attribute Adam over
+                                           # ONE packed [cap,42] array instead of per-buffer
                                            # [cap,3]/[cap,1] leaves (elementwise-identical;
                                            # the narrow leaves waste up to 42/128 lanes per
-                                           # TPU tile in the moment updates). Changes the
-                                           # {iter}_full.npz optimizer-state layout — resume
-                                           # requires the same setting.
+                                           # TPU tile in the moment updates; +4.7% step
+                                           # throughput on v5e, BASELINE.md). Changes the
+                                           # {iter}_full.npz optimizer-state layout; resume
+                                           # converts between layouts automatically
+                                           # (utils/checkpoint.py::load_pytree_npz).
     seed: int = 0
 
     # ------------------------------------------------------------------------- helpers

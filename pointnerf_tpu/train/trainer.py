@@ -81,7 +81,8 @@ def packed_rows_transform(inner: "optax.GradientTransformation"
     ELEMENTWISE-IDENTICAL — Adam has no cross-element coupling — and cuts
     the lane waste to 42/128. Leaves are packed in sorted-key order; the
     optimizer state stores the packed moments (a {iter}_full.npz written
-    with the other layout fails structure-matching loudly at resume).
+    with the other layout is converted at resume by
+    utils/checkpoint.py::load_pytree_npz, same sorted-key column order).
     """
 
     def _pack(tree):

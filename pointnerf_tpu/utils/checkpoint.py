@@ -42,15 +42,49 @@ def save_pytree_npz(path: str, tree) -> None:
 
 
 def load_pytree_npz(path: str, template):
-    """Restore a pytree saved by save_pytree_npz using `template` for structure."""
+    """Restore a pytree saved by save_pytree_npz using `template` for structure.
+
+    The point-Adam moments exist in two elementwise-identical layouts
+    (trainer.packed_rows_transform packs the per-buffer [cap,Ci] leaves into
+    one [cap,ΣCi] array in sorted-key column order). A checkpoint written
+    with one layout loads into a template built with the other: a template
+    dict of 2-D leaves whose parent key is a single array in the file is
+    column-split, and a template 2-D leaf whose key holds a dict of arrays
+    in the file is column-concatenated — both in the same sorted-key order
+    packed_rows_transform uses, so the conversion is exact."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    leaves = []
+    keyed = []
     for p, leaf in flat:
         key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
-        if key not in data:
-            raise KeyError(f"checkpoint {path} missing key {key}")
-        arr = data[key]
+        keyed.append((key, leaf))
+    # per-parent sorted (child, width) map for packed -> per-buffer splits
+    sib: Dict[str, list] = {}
+    for key, leaf in keyed:
+        parent, _, name = key.rpartition("/")
+        if parent and hasattr(leaf, "ndim") and getattr(leaf, "ndim", 0) == 2:
+            sib.setdefault(parent, []).append((name, leaf.shape[1]))
+    for parent in sib:
+        sib[parent].sort()
+
+    def resolve(key, leaf):
+        if key in data:
+            return data[key]
+        parent, _, name = key.rpartition("/")
+        if parent in data and parent in sib:  # packed file -> split template
+            arr, off = data[parent], 0
+            for n, w in sib[parent]:
+                if n == name:
+                    return arr[:, off:off + w]
+                off += w
+        children = sorted(k for k in data.files if k.startswith(key + "/"))
+        if children and getattr(leaf, "ndim", 0) == 2:  # split file -> packed
+            return np.concatenate([data[c] for c in children], axis=1)
+        raise KeyError(f"checkpoint {path} missing key {key}")
+
+    leaves = []
+    for key, leaf in keyed:
+        arr = resolve(key, leaf)
         if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
             raise ValueError(f"{key}: shape {arr.shape} != template {leaf.shape}")
         leaves.append(jnp.asarray(arr))

@@ -94,6 +94,49 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_cross_layout_resume(tmp_path):
+    """A {iter}_full.npz written with one packed_point_adam layout resumes
+    into a template built with the other: load_pytree_npz column-splits /
+    column-concats the point-Adam moments in packed_rows_transform's
+    sorted-key order, so the values must survive exactly."""
+    opt, state, spec, grid, batch, xyz = tiny_setup()
+
+    def pack(x):
+        if isinstance(x, dict):
+            return np.concatenate(
+                [np.asarray(x[k]) for k in sorted(x)], axis=1)
+        return np.asarray(x)
+
+    for a, b in ((0, 1), (1, 0)):
+        ts = trainer.create_train_state(
+            opt.replace(packed_point_adam=a), jax.random.PRNGKey(0), state)
+        # fill the moments with per-leaf-distinct values so a wrong column
+        # mapping cannot pass by accident
+        cnt = iter(range(10 ** 6))
+        def fill(leaf):
+            if hasattr(leaf, "dtype") and leaf.ndim >= 1 and \
+                    jnp.issubdtype(leaf.dtype, jnp.floating):
+                rng = np.random.RandomState(next(cnt))
+                return jnp.asarray(
+                    rng.uniform(-1, 1, leaf.shape).astype(leaf.dtype))
+            return leaf
+        ts = ts._replace(opt_state_pts=jax.tree.map(fill, ts.opt_state_pts))
+        d = str(tmp_path / f"layout_{a}_to_{b}")
+        C.save_checkpoint(d, 3, ts, opt.replace(packed_point_adam=a))
+
+        template = trainer.create_train_state(
+            opt.replace(packed_point_adam=b), jax.random.PRNGKey(7), state)
+        loaded, counters = C.load_checkpoint(d, template)
+        assert counters["total_steps"] == 3
+        np.testing.assert_array_equal(pack(ts.opt_state_pts[0].mu),
+                                      pack(loaded.opt_state_pts[0].mu))
+        np.testing.assert_array_equal(pack(ts.opt_state_pts[0].nu),
+                                      pack(loaded.opt_state_pts[0].nu))
+        for k in ts.pt_train:
+            np.testing.assert_array_equal(np.asarray(ts.pt_train[k]),
+                                          np.asarray(loaded.pt_train[k]))
+
+
 def test_reference_export_import_roundtrip(tmp_path):
     opt, state, spec, grid, batch, xyz = tiny_setup()
     ts = trainer.create_train_state(opt, jax.random.PRNGKey(0), state)
